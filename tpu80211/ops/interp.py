@@ -1,0 +1,121 @@
+"""Pilot-to-subcarrier interpolation as static (4, 53) matrices.
+
+Every pilot-based LS estimator in the reference — linear
+(WiFi_channel_estimation_PS_Linear.m, main.c:77-101), cubic divided
+differences (WiFi_channel_estimation_PS_Cubic.m, main.c:103-122), sinc
+(WiFi_channel_estimation_PS_Sinc.m, main.c:124-146) and the csapi spline
+(WiFi_channel_estimation_PS_Third.m) — computes, per subcarrier k, a value
+that is *linear in the four pilot ratios*.  The reference evaluates this
+with per-subcarrier scalar loops (and, in MPI, with a 5-group × 4-rank
+reduction tree, main_mpi.c:361-623).  On TPU the whole family is one
+precomputed matrix ``W`` with ``H = H_pilots @ W`` — a single MXU
+contraction batched over blocks and frames; the reference's P4 group
+reduction is subsumed by the matmul's inner dimension.
+
+Matrices are built once in float64 NumPy at trace time (they are problem
+constants), then cast to the compute dtype.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+from tpu80211 import constants as C
+from tpu80211.config import EstimatorMode
+
+_K = np.arange(C.N_SC, dtype=np.float64)  # 0-based subcarrier index 0..52
+_P = np.asarray(C.PILOT_IDX, dtype=np.float64)  # 5, 19, 33, 47
+_D = float(C.PILOT_DELTA)  # 14
+
+
+def _linear_matrix() -> np.ndarray:
+    """Piecewise-linear interpolation weights.
+
+    Three segments with the third extended beyond the last pilot — both the
+    MATLAB (..._PS_Linear.m:17-19) and the C (main.c:96-99) versions reuse
+    the pilot-2→pilot-3 slope for k ≥ P3, so the two modes coincide.
+    """
+    W = np.zeros((C.N_PILOTS, C.N_SC))
+    seg = np.clip(((_K[None, :] >= _P[:3, None]).sum(0) - 1), 0, 2)  # 0,1,2
+    alpha = (_K - _P[seg]) / _D
+    for k in range(C.N_SC):
+        s = seg[k]
+        W[s, k] += 1.0 - alpha[k]
+        W[s + 1, k] += alpha[k]
+    return W
+
+
+def _newton_cubic_matrix(uniform_denoms: bool) -> np.ndarray:
+    """Newton divided-difference cubic through the 4 pilots.
+
+    MATLAB uses denominators 14/14/14, 28/28, 42
+    (WiFi_channel_estimation_PS_Cubic.m:8-13); the C code uses 14 for all
+    of them (main.c:113-118) — a different polynomial (SURVEY.md §2.5.5).
+    ``uniform_denoms=True`` reproduces the C variant.
+
+    H(k) = f0 + f01·x1 + f012·x1·x2 + f0123·x1·x2·x3 with
+    x1=(k-P0), x2=(k-P1), x3=(k-P2); each coefficient is linear in the four
+    pilot ratios, so the map factors as W = M^T V^T with
+    f = M @ H_pilots and H = V @ f.
+    """
+    if uniform_denoms:
+        d01 = d12 = d23 = d012 = d123 = d0123 = _D
+    else:
+        d01 = d12 = d23 = _D
+        d012 = d123 = 2 * _D
+        d0123 = 3 * _D
+    # rows of M express [f0, f01, f012, f0123] in terms of the pilots
+    M = np.zeros((4, 4))
+    M[0, 0] = 1.0
+    f01 = np.array([-1.0, 1.0, 0.0, 0.0]) / d01
+    f12 = np.array([0.0, -1.0, 1.0, 0.0]) / d12
+    f23 = np.array([0.0, 0.0, -1.0, 1.0]) / d23
+    M[1] = f01
+    f012 = (f12 - f01) / d012
+    f123 = (f23 - f12) / d123
+    M[2] = f012
+    M[3] = (f123 - f012) / d0123
+    x1, x2, x3 = _K - _P[0], _K - _P[1], _K - _P[2]
+    V = np.stack([np.ones_like(_K), x1, x1 * x2, x1 * x2 * x3], axis=1)  # (53,4)
+    return (V @ M).T  # (4,53)
+
+
+def _sinc_matrix() -> np.ndarray:
+    """Sinc interpolation: H(k) = Σ_p H_pilots[p]·sinc((k-P_p)/14).
+
+    All four deltas are 14 in both the MATLAB version (note
+    ..._PS_Sinc.m:13 uses (k-20)/(20-6)) and the C version (main.c:135-144),
+    so the modes coincide.
+    """
+    x = (_K[None, :] - _P[:, None]) / _D
+    return np.sinc(x)  # numpy sinc is sin(pi x)/(pi x), sinc(0)=1 — same as utils.c:727-733
+
+
+def _spline_matrix() -> np.ndarray:
+    """csapi cubic spline through 4 points (WiFi_channel_estimation_PS_Third.m:10).
+
+    csapi's default not-a-knot end conditions with exactly four knots force
+    both interior "knots" inactive, i.e. the unique cubic polynomial through
+    the 4 points — identical to the MATLAB Newton cubic (the reference
+    itself notes "Seems to be the same as Cubic", WiFi_RX.m:50).
+    """
+    return _newton_cubic_matrix(uniform_denoms=False)
+
+
+@functools.lru_cache(maxsize=None)
+def interp_matrix(kind: str, mode: EstimatorMode = EstimatorMode.MATLAB) -> np.ndarray:
+    """Return the (4, 53) float64 interpolation matrix for ``kind``.
+
+    kind ∈ {"linear", "cubic", "sinc", "spline"}.
+    """
+    if kind == "linear":
+        return _linear_matrix()
+    if kind == "cubic":
+        return _newton_cubic_matrix(uniform_denoms=(mode == EstimatorMode.C_PARITY))
+    if kind == "sinc":
+        return _sinc_matrix()
+    if kind == "spline":
+        return _spline_matrix()
+    raise ValueError(f"unknown interpolation kind: {kind!r}")
