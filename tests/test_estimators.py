@@ -16,7 +16,7 @@ from tpu80211.config import EstimatorMode
 from tpu80211.models import lt_ls, ps_interp, ps_mmse
 from tpu80211.parity import oracle_np as oracle
 
-MODES = [EstimatorMode.MATLAB, EstimatorMode.C_PARITY]
+MODES = [EstimatorMode.MATH, EstimatorMode.MATLAB, EstimatorMode.C_PARITY]
 KINDS = ["linear", "cubic", "sinc", "spline"]
 
 F64_TOL = 1e-10

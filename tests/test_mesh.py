@@ -1,0 +1,103 @@
+"""Multi-chip sharding tests on the virtual 8-device CPU mesh.
+
+The capability the reference lacks entirely: its distributed path needs an
+LSF cluster + Platform MPI (main_mpi.bash:1-30); here the same math runs
+on a fake 8-device backend (conftest.py sets
+xla_force_host_platform_device_count=8).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpu80211 import constants as C
+from tpu80211.cplx import Cplx
+from tpu80211.datasets import synthetic
+from tpu80211.parallel import make_mesh, pad_blocks, rx_chain_dp, rx_step_shardmap
+from tpu80211.pipeline import sc
+
+
+def _c(x):
+    return Cplx.from_complex(np.asarray(x), jnp.float32)
+
+
+def _rel(a, b):
+    a = np.asarray(a, np.complex128)
+    b = np.asarray(b, np.complex128)
+    return np.abs(a - b).max() / max(np.abs(b).max(), 1e-30)
+
+
+@pytest.fixture(scope="module")
+def batch():
+    return synthetic.generate(jax.random.PRNGKey(7), batch=16, dtype=jnp.complex64)
+
+
+def test_eight_devices():
+    assert len(jax.devices()) == 8
+
+
+def test_dp_pipeline_matches_single(batch):
+    """8-way frame-sharded GSPMD chain == unsharded chain."""
+    mesh = make_mesh(dp=8, blk=1)
+    pkt_tx = _c(synthetic.synthesize_time(batch.tx_symb))
+    pkt_rx = _c(synthetic.synthesize_time(batch.rx_symb))
+    lts = synthetic.synthesize_time(
+        jnp.broadcast_to(batch.tx_preamble_fft[:, None, :], batch.tx_symb.shape)
+    )[:, C.N_CP : C.N_CP + C.N_FFT]
+    rlts = synthetic.synthesize_time(
+        jnp.broadcast_to(batch.rx_preamble_fft[:, None, :], batch.tx_symb.shape)
+    )[:, C.N_CP : C.N_CP + C.N_FFT]
+    tx_lp = _c(jnp.concatenate([lts[:, :32], lts, lts], axis=-1))
+    # perturb one repeat so the σ² estimate (WiFi_RX.m:31) is nonzero and
+    # the MMSE stays well-posed
+    kr, ki = jax.random.split(jax.random.PRNGKey(3))
+    noise = 1e-4 * (
+        jax.random.normal(kr, rlts.shape) + 1j * jax.random.normal(ki, rlts.shape)
+    )
+    rx_lp = _c(jnp.concatenate([rlts[:, :32], rlts + noise, rlts], axis=-1))
+
+    fn = rx_chain_dp(mesh)
+    out_sharded = fn(pkt_tx, pkt_rx, tx_lp, rx_lp)
+    out_local = sc.rx_chain(pkt_tx, pkt_rx, tx_lp, rx_lp)
+    for name, tol in (("h_lt", 1e-5), ("h_linear", 1e-5), ("h_mmse", 1e-4)):
+        got = getattr(out_sharded, name).to_complex()
+        want = getattr(out_local, name).to_complex()
+        # f32 fusion/reduction order differs between the sharded and local
+        # compiles; MMSE magnitudes are ~1/σ² so its tolerance is looser
+        assert _rel(got, want) < tol, name
+
+
+@pytest.mark.parametrize("dp,blk", [(8, 1), (4, 2), (2, 4)])
+def test_shardmap_step_matches_single(batch, dp, blk):
+    """dp×blk shard_map step (explicit psum collectives) == local math."""
+    mesh = make_mesh(dp=dp, blk=blk)
+    step, nb_pad = rx_step_shardmap(mesh)
+
+    txb = pad_blocks(np.asarray(batch.tx_symb), blk)[:, :nb_pad]
+    rxb = pad_blocks(np.asarray(batch.rx_symb), blk)[:, :nb_pad]
+    out, mse = step(
+        _c(batch.tx_preamble_fft),
+        _c(batch.rx_preamble_fft),
+        _c(txb),
+        _c(rxb),
+        jnp.asarray(batch.ow2),
+    )
+
+    ref = sc.rx_chain_freq(
+        _c(batch.tx_preamble_fft),
+        _c(batch.rx_preamble_fft),
+        _c(np.asarray(batch.tx_symb)),
+        _c(np.asarray(batch.rx_symb)),
+        jnp.asarray(batch.ow2),
+    )
+    for name in ("h_lt", "h_linear", "h_cubic", "h_sinc", "h_spline", "h_mmse"):
+        got = getattr(out, name).to_complex()
+        want = getattr(ref, name).to_complex()
+        assert _rel(got, want) < 1e-4, name
+    # equalized symbols: compare the real (non-pad) blocks
+    eq_got = out.eq.to_complex()[:, : C.N_BLOCKS]
+    assert _rel(eq_got, ref.eq.to_complex()) < 1e-4
+    # global metric consistent with local computation
+    want_mse = np.mean(np.abs(ref.h_mmse.to_complex()) ** 2)
+    np.testing.assert_allclose(float(mse), want_mse, rtol=1e-4)

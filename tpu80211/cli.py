@@ -1,0 +1,163 @@
+"""Command-line driver: `python -m tpu80211 <command>`.
+
+Replaces the reference's launch surface — `compile.c` argv selection,
+`main_*.bash` LSF scripts, and estimator selection by (un)commenting code
+(main.c:37-54) — with flags over one Config dataclass.
+
+Commands:
+  run        — run estimators on the shipped capture (the reference
+               drivers' workload) and print H_EST per subcarrier
+  bench      — frames/s of the full RX chain on synthetic frames
+  parity     — compare the JAX paths against the native C++ oracle
+  devices    — show the JAX backend / mesh that would be used
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def _build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="tpu80211")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    run = sub.add_parser("run", help="run estimators on the shipped capture")
+    run.add_argument("--estimators", default="all",
+                     help="comma list of lt_ls,ps_linear,ps_cubic,ps_sinc,"
+                          "ps_spline,ps_mmse (default all)")
+    run.add_argument("--mode", default="math",
+                     choices=["math", "matlab", "c_parity"])
+    run.add_argument("--avg-blocks", type=int, default=4)
+    run.add_argument("--quiet", action="store_true",
+                     help="print timing only, not the 53 CFR values")
+
+    bench = sub.add_parser("bench", help="full-chain frames/s benchmark")
+    bench.add_argument("--batch", type=int, default=32768)
+    bench.add_argument("--iters", type=int, default=10)
+
+    par = sub.add_parser("parity", help="JAX vs native C++ oracle check")
+    par.add_argument("--mode", default="math",
+                     choices=["math", "matlab", "c_parity"])
+
+    sub.add_parser("devices", help="show backend devices")
+    return p
+
+
+def _cmd_run(args) -> int:
+    import jax.numpy as jnp
+
+    from tpu80211.config import ESTIMATOR_NAMES, EstimatorMode
+    from tpu80211.datasets.loader import load_capture
+    from tpu80211.models import PS_ESTIMATORS, lt_ls, ps_mmse
+
+    mode = EstimatorMode(args.mode)
+    names = (
+        ESTIMATOR_NAMES if args.estimators == "all"
+        else tuple(args.estimators.split(","))
+    )
+    cap = load_capture()
+    tx_pre = jnp.asarray(cap.tx_preamble_fft)
+    rx_pre = jnp.asarray(cap.rx_preamble_fft)
+    txb = jnp.asarray(cap.tx_symb)
+    rxb = jnp.asarray(cap.rx_symb)
+    h_lt = lt_ls(tx_pre, rx_pre, mode=mode)
+
+    for name in names:
+        t0 = time.perf_counter()
+        if name == "lt_ls":
+            h = h_lt
+        elif name == "ps_mmse":
+            h = ps_mmse(txb, rxb, cap.ow2, h_lt, mode=mode,
+                        avg_blocks=args.avg_blocks)
+        elif name in PS_ESTIMATORS:
+            h = PS_ESTIMATORS[name](txb, rxb, mode=mode,
+                                    avg_blocks=args.avg_blocks)
+        else:
+            print(f"unknown estimator {name!r}", file=sys.stderr)
+            return 2
+        h = np.asarray(h)
+        dt = time.perf_counter() - t0
+        print(f"# {name} ({mode.value}): {dt*1e3:.2f} ms")
+        if not args.quiet:
+            for i, v in enumerate(h):
+                print(f"H_EST[{i}] = {v.real:+.10e} {v.imag:+.10e}i")
+    return 0
+
+
+def _cmd_bench(args) -> int:
+    import bench as bench_mod  # repo-root bench.py
+
+    sys.argv = ["bench.py", str(args.batch), str(args.iters)]
+    bench_mod.main()
+    return 0
+
+
+def _cmd_parity(args) -> int:
+    import jax.numpy as jnp
+
+    from tpu80211.config import EstimatorMode
+    from tpu80211.datasets.loader import load_capture
+    from tpu80211.models import lt_ls, ps_interp, ps_mmse
+    from tpu80211.parity import oracle_native as nat
+
+    mode = EstimatorMode(args.mode)
+    cap = load_capture()
+    report = {}
+
+    def rel(a, b):
+        a = np.asarray(a, np.complex128)
+        b = np.asarray(b, np.complex128)
+        return float(np.abs(a - b).max() / max(np.abs(b).max(), 1e-30))
+
+    h_lt_nat = nat.lt_ls(cap.tx_preamble_fft, cap.rx_preamble_fft, mode)
+    h_lt_jax = lt_ls(jnp.asarray(cap.tx_preamble_fft),
+                     jnp.asarray(cap.rx_preamble_fft), mode=mode)
+    report["lt_ls"] = rel(h_lt_jax, h_lt_nat)
+    for kind in ("linear", "cubic", "sinc", "spline"):
+        got = ps_interp(jnp.asarray(cap.tx_symb), jnp.asarray(cap.rx_symb),
+                        kind, mode=mode)
+        want = nat.ps_interp(cap.tx_symb, cap.rx_symb, kind, mode)
+        report[f"ps_{kind}"] = rel(got, want)
+    got = ps_mmse(jnp.asarray(cap.tx_symb), jnp.asarray(cap.rx_symb),
+                  cap.ow2, jnp.asarray(h_lt_nat), mode=mode)
+    want = nat.ps_mmse(cap.tx_symb, cap.rx_symb, cap.ow2, h_lt_nat, mode)
+    report["ps_mmse"] = rel(got, want)
+
+    ok = all(v < 1e-6 for v in report.values())
+    print(json.dumps({"mode": mode.value, "max_rel_err": report, "pass": ok}))
+    return 0 if ok else 1
+
+
+def _cmd_devices(_args) -> int:
+    import jax
+
+    for d in jax.devices():
+        print(d)
+    return 0
+
+
+def main(argv=None) -> int:
+    args = _build_parser().parse_args(argv)
+    if args.cmd in ("run", "parity"):
+        # complex-dtype reference paths: the axon TPU runtime does not
+        # lower complex64 fft/divide — pin these commands to CPU (the
+        # split-complex production path via `bench` uses the TPU)
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_enable_x64", True)  # f64 parity precision
+    return {
+        "run": _cmd_run,
+        "bench": _cmd_bench,
+        "parity": _cmd_parity,
+        "devices": _cmd_devices,
+    }[args.cmd](args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

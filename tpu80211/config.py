@@ -16,7 +16,16 @@ import enum
 class EstimatorMode(enum.Enum):
     """Which semantics an estimator implements.
 
-    MATLAB   — the golden-model math (WiFi_channel_estimation_*.m).
+    MATH     — textbook-correct estimators; the primary API.  Identical to
+               MATLAB for every estimator except PS-MMSE, where the MATLAB
+               code builds Rhy = Rhh·F'·X4
+               (WiFi_channel_estimation_PS_MMSE.m:30) although the true
+               cross-covariance E[h·yᴴ] = Rhh·Fᴴ·X4ᴴ needs the *adjoint*
+               of X4.  On the shipped capture the slip is invisible, but
+               for complex (e.g. QPSK) tx symbols the MATLAB estimator
+               decoheres (~10²× magnitude error vs the true channel).
+    MATLAB   — the golden-model semantics (WiFi_channel_estimation_*.m),
+               including the X4-conjugation slip above.
     C_PARITY — reproduces the C sequential implementation's quirks
                (SURVEY.md §2.5: real 'hermitian' utils.c:6, uniform
                divided-difference deltas main.c:108-118, Ryy=2σ²I from the
@@ -24,6 +33,7 @@ class EstimatorMode(enum.Enum):
                main.c:96-99, ...).
     """
 
+    MATH = "math"
     MATLAB = "matlab"
     C_PARITY = "c_parity"
 
@@ -35,7 +45,7 @@ ESTIMATOR_NAMES = ("lt_ls", "ps_linear", "ps_cubic", "ps_sinc", "ps_spline", "ps
 class Config:
     # which estimators to run; "all" in the CLI expands to ESTIMATOR_NAMES
     estimators: tuple = ESTIMATOR_NAMES
-    mode: EstimatorMode = EstimatorMode.MATLAB
+    mode: EstimatorMode = EstimatorMode.MATH
 
     # batch of concurrent frames processed per step
     batch: int = 1024

@@ -49,20 +49,28 @@ def _cdot(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     return jnp.sum(jnp.conj(a) * b, axis=-1)
 
 
-def _mmse_block_sm(v, tx, rx, ow2):
+def _mmse_block_sm(v, tx, rx, ow2, matlab_conj: bool):
     """Sherman-Morrison closed form for one block (broadcast over leading dims).
 
     v: (..., 53) = F·ifft(H_LT);  tx, rx: (..., 53);  ow2: scalar or (...,).
+    ``matlab_conj`` selects the MATLAB X4-conjugation slip (Rhy uses X4,
+    ..._PS_MMSE.m:30) instead of the correct X4ᴴ — see EstimatorMode.MATH.
     """
     u = tx * v
-    upp = jnp.conj(tx) * v                      # X4ᴴ·v
     denom = ow2 + _cdot(u, u).real              # σ² + ‖u‖²
-    # s = uppᴴ·Ryy⁻¹·rx
-    s = (_cdot(upp, rx) - _cdot(upp, u) * _cdot(u, rx) / denom) / ow2
+    if matlab_conj:
+        # MATLAB: s = (X4ᴴv)ᴴ·Ryy⁻¹·rx — general SM form (cancels
+        # catastrophically as σ²→0; parity mode, run at f64)
+        upp = jnp.conj(tx) * v
+        s = (_cdot(upp, rx) - _cdot(upp, u) * _cdot(u, rx) / denom) / ow2
+    else:
+        # MATH: upp = u makes SM collapse to uᴴrx/(σ²+‖u‖²) — exactly
+        # stable for any σ² ≥ 0 (no σ² division, no cancellation)
+        s = _cdot(u, rx) / denom
     return v * s[..., None]
 
 
-def _mmse_block_dense(v, tx, rx, ow2, solve_fn):
+def _mmse_block_dense(v, tx, rx, ow2, solve_fn, matlab_conj: bool):
     """Dense path: explicitly build Ryy = σ²I + u·uᴴ and solve.
 
     Matches the reference's computational shape (53×53 inverse per block,
@@ -73,7 +81,7 @@ def _mmse_block_dense(v, tx, rx, ow2, solve_fn):
     eye = jnp.eye(C.N_SC, dtype=v.dtype)
     ryy = ow2 * eye + u[..., :, None] * jnp.conj(u[..., None, :])
     z = solve_fn(ryy, rx[..., :, None])[..., 0]       # Ryy⁻¹·rx
-    s = _cdot(jnp.conj(tx) * v, z)
+    s = _cdot(jnp.conj(tx) * v if matlab_conj else u, z)
     return v * s[..., None]
 
 
@@ -86,7 +94,7 @@ def ps_mmse(
     rx_blocks: jnp.ndarray,  # (..., n_blocks, 53)
     ow2,                     # noise power σ² (scalar or broadcastable)
     h_lt: jnp.ndarray,       # (..., 53) LT-LS estimate
-    mode: EstimatorMode = EstimatorMode.MATLAB,
+    mode: EstimatorMode = EstimatorMode.MATH,
     solver: str = "sm",
     avg_blocks: int = C.N_AVG_BLOCKS,
 ) -> jnp.ndarray:
@@ -99,14 +107,15 @@ def ps_mmse(
     tx = tx_blocks[..., :avg_blocks, :]
     rx = rx_blocks[..., :avg_blocks, :]
     vb = v[..., None, :]                         # broadcast over blocks
+    mlc = mode == EstimatorMode.MATLAB
     if solver == "sm":
-        h = _mmse_block_sm(vb, tx, rx, ow2)
+        h = _mmse_block_sm(vb, tx, rx, ow2, mlc)
     elif solver == "dense":
-        h = _mmse_block_dense(vb, tx, rx, ow2, _solve_xla)
+        h = _mmse_block_dense(vb, tx, rx, ow2, _solve_xla, mlc)
     elif solver == "dense_pallas":
         from tpu80211.kernels.mmse_solve import solve_batched_pallas
 
-        h = _mmse_block_dense(vb, tx, rx, ow2, solve_batched_pallas)
+        h = _mmse_block_dense(vb, tx, rx, ow2, solve_batched_pallas, mlc)
     else:
         raise ValueError(f"unknown mmse solver: {solver!r}")
     return jnp.mean(h, axis=-2)

@@ -215,7 +215,10 @@ def ps_mmse_oracle(
     for b in range(avg_blocks):
         tx, rx = tx_blocks[b], rx_blocks[b]
         x4 = np.diag(tx).astype(CLD)
-        rhy = rhh @ np.conj(f.T) @ x4
+        if mode == EstimatorMode.MATLAB:
+            rhy = rhh @ np.conj(f.T) @ x4          # ..._PS_MMSE.m:30 (X4 slip)
+        else:  # MATH: true cross-covariance needs X4ᴴ
+            rhy = rhh @ np.conj(f.T) @ np.conj(x4.T)
         ryy = x4 @ f @ rhh @ np.conj(f.T) @ np.conj(x4.T) + ow2 * np.eye(n, dtype=CLD)
         acc += f @ rhy @ inv_gauss_ld(ryy) @ rx
     return acc / LD(avg_blocks)

@@ -1,0 +1,234 @@
+"""Split-complex (TPU-native) implementation of the full RX chain.
+
+The axon TPU runtime lowers real matmuls/elementwise ops but rejects most
+complex64 primitives (fft, divide, roll, solve — all UNIMPLEMENTED), so the
+production path carries complex data as ``Cplx`` re/im f32 planes
+(tpu80211/cplx.py) and expresses every spectral transform as a real matmul
+on the MXU (tpu80211/ops/specmats.py):
+
+  * block extraction "CP-strip → FFT64 → fftshift → 53 bins"
+    (WiFi_blocks_extraction.m:5-10) is one (…,15,64) @ (64,53) contraction;
+  * the MMSE ifft/fft pair (WiFi_channel_estimation_PS_MMSE.m:26, :32) are
+    (…,53) @ (53,53) contractions with the DFT/IDFT matrices;
+  * pilot interpolation is the static (4,53) matrix of ops/interp.py;
+  * everything else (LS ratios, Sherman-Morrison dots, equalization) is
+    elementwise VPU work fused by XLA.
+
+Semantics match the complex-dtype models (tpu80211/models/*) exactly; the
+test suite checks sc.* == models.* == the 80-bit oracle.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from tpu80211 import constants as C
+from tpu80211.config import EstimatorMode
+from tpu80211.cplx import Cplx, apply_dft
+from tpu80211.ops import specmats
+from tpu80211.ops.interp import interp_matrix
+
+_PILOTS = np.asarray(C.PILOT_IDX)
+_DC = np.zeros((C.N_SC,), dtype=bool)
+_DC[C.DC_IDX] = True
+
+
+# -- front end -----------------------------------------------------------------
+
+
+def extract_blocks(packet: Cplx) -> Cplx:
+    """(…, 1200) time-domain packet → (…, 15, 53) frequency-domain blocks."""
+    *lead, n = packet.shape
+    assert n == C.PACKET_SAMPLES, packet.shape
+    blocks = packet.reshape(*lead, C.N_BLOCKS, C.SAMP_PER_BLOCK)[..., C.N_CP :]
+    w_re, w_im = specmats.block_dft()
+    return apply_dft(
+        blocks, jnp.asarray(w_re, jnp.float32), jnp.asarray(w_im, jnp.float32)
+    )
+
+
+def preamble_fft(lptot: Cplx) -> Cplx:
+    """(…, 160) long preamble → (…, 53) averaged LTS spectrum (WiFi_RX.m:19-29)."""
+    *lead, n = lptot.shape
+    assert n == C.PREAMBLE_SAMPLES, lptot.shape
+    rep1 = lptot[..., -C.N_FFT :]
+    rep2 = lptot[..., -2 * C.N_FFT : -C.N_FFT]
+    avg = (rep1 + rep2) * 0.5
+    w_re, w_im = specmats.block_dft()
+    return apply_dft(
+        avg, jnp.asarray(w_re, jnp.float32), jnp.asarray(w_im, jnp.float32)
+    )
+
+
+def noise_power(rx_lptot: Cplx) -> jnp.ndarray:
+    """σ² from the LTS repeat difference (WiFi_RX.m:31); real (…,) array."""
+    rep1 = rx_lptot[..., -C.N_FFT :]
+    rep2 = rx_lptot[..., -2 * C.N_FFT : -C.N_FFT]
+    d = rep2 - rep1
+    return jnp.sum(d.abs2(), axis=-1) / (2 * C.N_FFT)
+
+
+# -- estimators ----------------------------------------------------------------
+
+
+def lt_ls(tx_pre: Cplx, rx_pre: Cplx) -> Cplx:
+    """LT-LS estimate (…, 53); DC forced to 0 (WiFi_channel_estimation_LT_LS.m)."""
+    denom = tx_pre.abs2()  # conj(X)·X is real
+    denom = jnp.where(_DC, jnp.ones((), denom.dtype), denom)
+    num = tx_pre.conj() * rx_pre
+    h = Cplx(num.re / denom, num.im / denom)
+    zero = jnp.zeros((), h.re.dtype)
+    return Cplx(jnp.where(_DC, zero, h.re), jnp.where(_DC, zero, h.im))
+
+
+def pilot_ratios(tx: Cplx, rx: Cplx) -> Cplx:
+    """(…, 53) → (…, 4) pilot ratios rx[p]/tx[p]."""
+    return rx[..., _PILOTS] / tx[..., _PILOTS]
+
+
+def ps_interp(
+    tx_blocks: Cplx,
+    rx_blocks: Cplx,
+    kind: str,
+    mode: EstimatorMode = EstimatorMode.MATLAB,
+    avg_blocks: int = C.N_AVG_BLOCKS,
+) -> Cplx:
+    """Pilot-LS + static-matrix interpolation, averaged over the first
+    ``avg_blocks`` blocks (…, 53)."""
+    if mode == EstimatorMode.C_PARITY:
+        avg_blocks = 1
+    hp = pilot_ratios(
+        tx_blocks[..., :avg_blocks, :], rx_blocks[..., :avg_blocks, :]
+    )  # (…, avg, 4)
+    w = jnp.asarray(interp_matrix(kind, mode), jnp.float32)  # (4, 53)
+    h = Cplx(
+        jnp.matmul(hp.re, w, preferred_element_type=jnp.float32),
+        jnp.matmul(hp.im, w, preferred_element_type=jnp.float32),
+    )
+    return h.mean(axis=-2)
+
+
+def _vdot(a: Cplx, b: Cplx) -> Cplx:
+    """aᴴ·b along the last axis."""
+    return (a.conj() * b).sum(axis=-1)
+
+
+def ps_mmse_sm(
+    tx_blocks: Cplx,
+    rx_blocks: Cplx,
+    ow2: jnp.ndarray,  # (…,) real noise power
+    h_lt: Cplx,        # (…, 53)
+    avg_blocks: int = C.N_AVG_BLOCKS,
+    mode: EstimatorMode = EstimatorMode.MATH,
+) -> Cplx:
+    """Sherman-Morrison MMSE (models/ps_mmse.py math) in split-complex.
+
+    Rhh = ifft(H_LT)·ifft(H_LT)ᴴ is rank one, so Ryy = σ²I + u·uᴴ and the
+    reference's 53×53 cofactor inverse (utils.c:141-170) reduces to dots.
+    MATH mode uses the correct X4ᴴ in Rhy; MATLAB mode reproduces the X4
+    slip of ..._PS_MMSE.m:30 (see config.EstimatorMode).
+    """
+    i_re, i_im = specmats.idft53()
+    f_re, f_im = specmats.dft53()
+    h_t = apply_dft(h_lt, jnp.asarray(i_re, jnp.float32), jnp.asarray(i_im, jnp.float32))
+    v = apply_dft(h_t, jnp.asarray(f_re, jnp.float32), jnp.asarray(f_im, jnp.float32))
+
+    tx = tx_blocks[..., :avg_blocks, :]
+    rx = rx_blocks[..., :avg_blocks, :]
+    vb = v[..., None, :]  # broadcast over blocks
+    u = tx * vb
+    denom = ow2[..., None] + u.abs2().sum(axis=-1)  # (…, avg) real
+    urx = _vdot(u, rx)
+    if mode == EstimatorMode.MATLAB:
+        # general SM form with the X4 slip (cancels as σ²→0; parity only)
+        upp = tx.conj() * vb
+        s = (_vdot(upp, rx) - _vdot(upp, u) * (urx / denom)) / ow2[..., None]
+    else:
+        # MATH: stable collapsed form s = uᴴrx/(σ²+‖u‖²)
+        s = Cplx(urx.re / denom, urx.im / denom)
+    h = vb * Cplx(s.re[..., None], s.im[..., None])
+    return h.mean(axis=-2)
+
+
+def equalize(rx_blocks: Cplx, h_lt: Cplx, h_ps: Cplx) -> Cplx:
+    """Blended-CFR equalization (WiFi_Equalization.m:3-8); DC column zero."""
+    n = rx_blocks.shape[-2]
+    i = jnp.arange(1, n + 1, dtype=jnp.float32)[:, None]
+    w_lt = (n - i) / n
+    w_ps = i / n
+    h_util = Cplx(
+        w_lt * h_lt.re[..., None, :] + w_ps * h_ps.re[..., None, :],
+        w_lt * h_lt.im[..., None, :] + w_ps * h_ps.im[..., None, :],
+    )
+    safe = Cplx(
+        jnp.where(_DC, jnp.ones((), h_util.re.dtype), h_util.re),
+        jnp.where(_DC, jnp.zeros((), h_util.im.dtype), h_util.im),
+    )
+    eq = rx_blocks / safe
+    zero = jnp.zeros((), eq.re.dtype)
+    return Cplx(jnp.where(_DC, zero, eq.re), jnp.where(_DC, zero, eq.im))
+
+
+# -- full chain ----------------------------------------------------------------
+
+
+class RxOutputs(NamedTuple):
+    """Per-frame outputs of the full RX chain (all Cplx except ow2)."""
+
+    h_lt: Cplx       # (…, 53) LT-LS estimate
+    h_linear: Cplx   # (…, 53)
+    h_cubic: Cplx    # (…, 53)
+    h_sinc: Cplx     # (…, 53)
+    h_spline: Cplx   # (…, 53)
+    h_mmse: Cplx     # (…, 53)
+    eq: Cplx         # (…, 15, 53) equalized symbols (MMSE-blended)
+    ow2: jnp.ndarray  # (…,) estimated noise power
+
+
+def rx_chain(
+    tx_packet: Cplx,   # (…, 1200)
+    rx_packet: Cplx,   # (…, 1200)
+    tx_lptot: Cplx,    # (…, 160)
+    rx_lptot: Cplx,    # (…, 160)
+    avg_blocks: int = C.N_AVG_BLOCKS,
+) -> RxOutputs:
+    """The full WiFi_RX.m chain, batched: time-domain samples → estimates →
+    equalized symbols.  Pure function of its inputs; jit/vmap/shard-ready."""
+    tx_pre = preamble_fft(tx_lptot)
+    rx_pre = preamble_fft(rx_lptot)
+    ow2 = noise_power(rx_lptot)
+    tx_blocks = extract_blocks(tx_packet)
+    rx_blocks = extract_blocks(rx_packet)
+
+    h_lt = lt_ls(tx_pre, rx_pre)
+    h_lin = ps_interp(tx_blocks, rx_blocks, "linear", avg_blocks=avg_blocks)
+    h_cub = ps_interp(tx_blocks, rx_blocks, "cubic", avg_blocks=avg_blocks)
+    h_sin = ps_interp(tx_blocks, rx_blocks, "sinc", avg_blocks=avg_blocks)
+    h_spl = ps_interp(tx_blocks, rx_blocks, "spline", avg_blocks=avg_blocks)
+    h_mmse = ps_mmse_sm(tx_blocks, rx_blocks, ow2, h_lt, avg_blocks=avg_blocks)
+
+    eq = equalize(rx_blocks, h_lt, h_mmse)
+    return RxOutputs(h_lt, h_lin, h_cub, h_sin, h_spl, h_mmse, eq, ow2)
+
+
+def rx_chain_freq(
+    tx_pre: Cplx,      # (…, 53)
+    rx_pre: Cplx,      # (…, 53)
+    tx_blocks: Cplx,   # (…, 15, 53)
+    rx_blocks: Cplx,   # (…, 15, 53)
+    ow2: jnp.ndarray,  # (…,)
+    avg_blocks: int = C.N_AVG_BLOCKS,
+) -> RxOutputs:
+    """Frequency-domain entry (the C drivers' view, inputs.h:20-928):
+    skips the front end, runs estimators + equalization."""
+    h_lt = lt_ls(tx_pre, rx_pre)
+    h_lin = ps_interp(tx_blocks, rx_blocks, "linear", avg_blocks=avg_blocks)
+    h_cub = ps_interp(tx_blocks, rx_blocks, "cubic", avg_blocks=avg_blocks)
+    h_sin = ps_interp(tx_blocks, rx_blocks, "sinc", avg_blocks=avg_blocks)
+    h_spl = ps_interp(tx_blocks, rx_blocks, "spline", avg_blocks=avg_blocks)
+    h_mmse = ps_mmse_sm(tx_blocks, rx_blocks, ow2, h_lt, avg_blocks=avg_blocks)
+    eq = equalize(rx_blocks, h_lt, h_mmse)
+    return RxOutputs(h_lt, h_lin, h_cub, h_sin, h_spl, h_mmse, eq, ow2)
