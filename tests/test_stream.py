@@ -1,0 +1,59 @@
+"""Streaming driver: chunked processing, persistence, resume."""
+
+import json
+
+import numpy as np
+
+from tpu80211 import constants as C
+from tpu80211.pipeline import stream
+
+
+def test_stream_runs_and_persists(tmp_path):
+    out_dir = tmp_path / "shards"
+    res = stream.run_stream(
+        stream.synthetic_batches(3, batch=4), out_dir=str(out_dir)
+    )
+    assert res["frames"] == 12
+    assert res["batches"] == 3
+    files = sorted(out_dir.glob("h_est_*.npz"))
+    assert len(files) == 3
+    d = np.load(files[0])
+    assert d["h_mmse"].shape == (4, C.N_SC)
+    assert np.isfinite(d["h_mmse"]).all()
+    cursor = json.loads((out_dir / "cursor.json").read_text())
+    assert cursor["done"] == [0, 1, 2]
+
+
+def test_stream_resume_skips_done(tmp_path):
+    out_dir = tmp_path / "shards"
+    stream.run_stream(stream.synthetic_batches(2, batch=4), out_dir=str(out_dir))
+    # second run with 4 batches resumes: only 2 new ones processed
+    res = stream.run_stream(
+        stream.synthetic_batches(4, batch=4), out_dir=str(out_dir), resume=True
+    )
+    assert res["batches"] == 2
+    assert len(list(out_dir.glob("h_est_*.npz"))) == 4
+
+
+def test_plots(tmp_path, capture):
+    from tpu80211.utils.plots import plot_cfr
+    import jax.numpy as jnp
+    from tpu80211.models import lt_ls
+
+    h = np.asarray(
+        lt_ls(jnp.asarray(capture.tx_preamble_fft), jnp.asarray(capture.rx_preamble_fft))
+    )
+    paths = plot_cfr({"LT-LS": h}, str(tmp_path / "cfr"), title="test")
+    for p in paths:
+        assert (tmp_path / p.split("/")[-1]).exists()
+
+
+def test_timing_report():
+    from tpu80211.utils.timing import Report, roofline, rx_chain_cost
+
+    r = Report(meta={"chip": "v5e"})
+    cost = rx_chain_cost(1024)
+    r.add("rx_chain", **roofline(cost["flops"], cost["bytes"], "v5e"))
+    obj = json.loads(r.json())
+    assert obj["rx_chain"]["bound"] in ("compute", "memory")
+    assert obj["rx_chain"]["t_light_s"] > 0

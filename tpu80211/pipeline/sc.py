@@ -153,6 +153,34 @@ def ps_mmse_sm(
     return h.mean(axis=-2)
 
 
+def ps_mmse_dense(
+    tx_blocks: Cplx,
+    rx_blocks: Cplx,
+    ow2: jnp.ndarray,
+    h_lt: Cplx,
+    avg_blocks: int = C.N_AVG_BLOCKS,
+) -> Cplx:
+    """MMSE via the fused Pallas build+solve kernel — the reference's
+    computational shape (explicit regularized 53×53 Hermitian solve per
+    block, main.c:201) kept as a benchmarkable path.  Mathematically equal
+    to ps_mmse_sm in MATH mode (s = uᴴ·Ryy⁻¹·rx with Ryy = σ²I + u·uᴴ)."""
+    from tpu80211.kernels.mmse_solve import fused_rank1_solve
+
+    i_re, i_im = specmats.idft53()
+    f_re, f_im = specmats.dft53()
+    h_t = apply_dft(h_lt, jnp.asarray(i_re, jnp.float32), jnp.asarray(i_im, jnp.float32))
+    v = apply_dft(h_t, jnp.asarray(f_re, jnp.float32), jnp.asarray(f_im, jnp.float32))
+    tx = tx_blocks[..., :avg_blocks, :]
+    rx = rx_blocks[..., :avg_blocks, :]
+    vb = v[..., None, :]
+    u = tx * vb
+    ow2_b = jnp.broadcast_to(ow2[..., None], u.shape[:-1])
+    z = fused_rank1_solve(u, rx, ow2_b)
+    s = _vdot(u, z)
+    h = vb * Cplx(s.re[..., None], s.im[..., None])
+    return h.mean(axis=-2)
+
+
 def equalize(rx_blocks: Cplx, h_lt: Cplx, h_ps: Cplx) -> Cplx:
     """Blended-CFR equalization (WiFi_Equalization.m:3-8); DC column zero."""
     n = rx_blocks.shape[-2]

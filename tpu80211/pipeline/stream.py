@@ -1,0 +1,128 @@
+"""Streaming driver: run the RX chain over an unbounded frame stream.
+
+The reference is single-shot (one frozen frame, one estimator call); its
+frame-group mode replays the same frame across MPI groups
+(main_mpi.c:62-93).  The production workload the north star targets is a
+continuous stream of ≥10⁵ frames — this driver processes it in fixed-size
+device batches with:
+
+  * **double buffering**: batch k+1 is uploaded (device_put is async)
+    while batch k computes, hiding host→HBM transfer behind compute;
+  * **chunked persistence**: per-batch channel estimates are appended to an
+    .npz shard directory (the checkpoint/resume story the reference lacks,
+    SURVEY.md §5) together with a JSON cursor for resumption;
+  * mesh-sharded execution when a Mesh is supplied (frames over 'dp').
+"""
+
+from __future__ import annotations
+
+import json
+import pathlib
+from typing import Callable, Iterator
+
+import jax
+import numpy as np
+
+from tpu80211.cplx import Cplx
+from tpu80211.pipeline import sc
+
+
+def run_stream(
+    batches: Iterator,
+    fn: Callable = None,
+    mesh=None,
+    out_dir: str | None = None,
+    resume: bool = True,
+) -> dict:
+    """Drive `fn` (default: jitted sc.rx_chain_freq) over an iterator of
+    input tuples; returns summary stats.
+
+    Each element of `batches` is the arg tuple for `fn` (host-side pytrees
+    of numpy/Cplx).  With `out_dir`, writes shard files
+    `h_est_{i:06d}.npz` + a `cursor.json`; with `resume`, skips batches
+    already recorded in the cursor.
+    """
+    if fn is None:
+        fn = jax.jit(sc.rx_chain_freq)
+    sink = _Sink(out_dir, resume)
+
+    device = jax.devices()[0]
+    if mesh is not None:
+        from tpu80211.parallel import frame_sharding
+
+        device = frame_sharding(mesh)
+
+    n_frames = 0
+    n_batches = 0
+    pending = None  # (index, device_args)
+    for i, host_args in enumerate(batches):
+        if sink.done(i):
+            continue
+        dev_args = jax.device_put(host_args, device)  # async upload
+        if pending is not None:
+            n_frames += _finish(fn, pending, sink)
+            n_batches += 1
+        pending = (i, dev_args)
+    if pending is not None:
+        n_frames += _finish(fn, pending, sink)
+        n_batches += 1
+    return {"frames": n_frames, "batches": n_batches, "out_dir": sink.path_str()}
+
+
+def _finish(fn, pending, sink) -> int:
+    i, dev_args = pending
+    out = fn(*dev_args)
+    jax.block_until_ready(out)
+    sink.write(i, out)
+    lead = out.h_mmse.shape[:-1]
+    return int(np.prod(lead)) if lead else 1
+
+
+class _Sink:
+    def __init__(self, out_dir, resume):
+        self.dir = pathlib.Path(out_dir) if out_dir else None
+        self.cursor = set()
+        if self.dir:
+            self.dir.mkdir(parents=True, exist_ok=True)
+            cur = self.dir / "cursor.json"
+            if resume and cur.exists():
+                self.cursor = set(json.loads(cur.read_text())["done"])
+
+    def done(self, i: int) -> bool:
+        return i in self.cursor
+
+    def write(self, i: int, out) -> None:
+        if not self.dir:
+            return
+        arrs = {}
+        for name in ("h_lt", "h_linear", "h_cubic", "h_sinc", "h_spline", "h_mmse"):
+            field = getattr(out, name)
+            arrs[name] = (
+                field.to_complex() if isinstance(field, Cplx) else np.asarray(field)
+            )
+        np.savez_compressed(self.dir / f"h_est_{i:06d}.npz", **arrs)
+        self.cursor.add(i)
+        (self.dir / "cursor.json").write_text(json.dumps({"done": sorted(self.cursor)}))
+
+    def path_str(self):
+        return str(self.dir) if self.dir else None
+
+
+def synthetic_batches(n_batches: int, batch: int, seed: int = 0, snr_db: float = 40.0):
+    """Generator of frequency-domain arg tuples for sc.rx_chain_freq."""
+    from tpu80211.datasets import synthetic
+    import jax.numpy as jnp
+
+    for i in range(n_batches):
+        with jax.default_device(jax.devices("cpu")[0]):
+            fb = synthetic.generate(
+                jax.random.PRNGKey(seed + i), batch, snr_db=snr_db,
+                dtype=jnp.complex64,
+            )
+            yield (
+                Cplx.from_complex(np.asarray(fb.tx_preamble_fft)),
+                Cplx.from_complex(np.asarray(fb.rx_preamble_fft)),
+                Cplx.from_complex(np.asarray(fb.tx_symb)),
+                Cplx.from_complex(np.asarray(fb.rx_symb)),
+                jnp.asarray(np.asarray(fb.ow2)),
+            )
