@@ -57,3 +57,41 @@ def test_timing_report():
     obj = json.loads(r.json())
     assert obj["rx_chain"]["bound"] in ("compute", "memory")
     assert obj["rx_chain"]["t_light_s"] > 0
+
+
+def test_checks_assert_finite():
+    from tpu80211.utils.checks import assert_finite
+    from tpu80211.cplx import Cplx
+    import jax.numpy as jnp
+    import pytest as _pt
+
+    ok = Cplx(jnp.ones((3,)), jnp.zeros((3,)))
+    assert_finite({"a": ok, "b": jnp.ones(2)})
+    bad = Cplx(jnp.asarray([1.0, np.nan]), jnp.zeros((2,)))
+    with _pt.raises(FloatingPointError):
+        assert_finite(bad, name="bad")
+
+
+def test_checked_wrapper_raises_on_nan():
+    from tpu80211.utils.checks import checked
+    import jax.numpy as jnp
+    import pytest as _pt
+
+    def div(x, y):
+        return x / y
+
+    f = checked(div)
+    assert float(f(jnp.float32(1.0), jnp.float32(2.0))) == 0.5
+    with _pt.raises(Exception):
+        f(jnp.float32(0.0), jnp.float32(0.0))
+
+
+def test_multihost_mesh_single_process():
+    from tpu80211.parallel import multihost
+    import jax
+
+    mesh = multihost.hierarchical_mesh(blk=2)
+    assert mesh.shape["host"] == 1
+    assert mesh.shape["dp"] * mesh.shape["blk"] == len(jax.devices())
+    s = multihost.frame_sharding_mh(mesh)
+    assert s is not None
