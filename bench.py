@@ -7,16 +7,19 @@ tpu80211/pipeline/sc.py) and prints ONE JSON line:
 
     {"metric": "...", "value": N, "unit": "frames/s", "vs_baseline": N}
 
-Methodology (honest wall-clock over a tunneled chip):
-  * inputs are generated ON DEVICE by a jitted PRNG stage with a distinct
-    key per iteration — no host↔device transfer in the timed loop, and no
-    possibility of the runtime deduplicating identical dispatches;
-  * each iteration returns only device-side scalar reductions of every
-    output field, so all estimator work is live (nothing DCE-able) while
-    result readback stays off the timed path;
-  * `jax.block_until_ready` on the list of all iterations' outputs fences
-    the measurement (the reference instead sums thread CPU ticks with
-    `clock()`, main_mpi.c:1015-1081 — not comparable across thread counts).
+Methodology (honest wall-clock over a remote/tunneled chip):
+  * a base frame batch is synthesized on device once; the timed loop feeds
+    each iteration a scalar perturbation DERIVED FROM THE PREVIOUS
+    ITERATION'S OUTPUT, so every step is data-dependent on the last —
+    no caching, no deduplication, no reordering is possible;
+  * the fence is a device→host READBACK of the final scalar —
+    `block_until_ready` on this runtime acknowledges dispatch, it does not
+    await completion (measured: 64 "fenced" iterations in 1.7 ms);
+    reading the value forces the whole dependency chain to finish;
+  * two loop lengths (iters and 2·iters) are timed and the MARGINAL cost
+    (dt2 − dt1)/iters cancels fixed RTT/queue overheads;
+  * the reference instead sums thread CPU ticks with clock()
+    (main_mpi.c:1015-1081) — not comparable across thread counts.
 
 Baseline: the reference's best published configuration — 20 ranks in pure
 frame-parallel mode with MPI+OpenMP, 5.49e6 clock ticks ≈ 5.49 s CPU per
@@ -42,9 +45,8 @@ from tpu80211.pipeline import sc
 BASELINE_FRAMES_PER_S = 1.0 / 5.49
 
 
-def _gen_and_run(key, batch: int):
-    """On-device: synthesize a random frame batch, run the full chain,
-    reduce every output to a scalar."""
+def _gen(key, batch: int):
+    """Synthesize a random Cplx frame batch on device."""
     ks = jax.random.split(key, 8)
 
     def cplx(k1, k2, shape):
@@ -53,38 +55,58 @@ def _gen_and_run(key, batch: int):
             jax.random.normal(k2, shape, jnp.float32),
         )
 
-    tx_pkt = cplx(ks[0], ks[1], (batch, C.PACKET_SAMPLES))
-    rx_pkt = cplx(ks[2], ks[3], (batch, C.PACKET_SAMPLES))
-    tx_lp = cplx(ks[4], ks[5], (batch, C.PREAMBLE_SAMPLES))
-    rx_lp = cplx(ks[6], ks[7], (batch, C.PREAMBLE_SAMPLES))
-    out = sc.rx_chain(tx_pkt, rx_pkt, tx_lp, rx_lp)
-    return jax.tree.map(jnp.sum, out)
+    return (
+        cplx(ks[0], ks[1], (batch, C.PACKET_SAMPLES)),
+        cplx(ks[2], ks[3], (batch, C.PACKET_SAMPLES)),
+        cplx(ks[4], ks[5], (batch, C.PREAMBLE_SAMPLES)),
+        cplx(ks[6], ks[7], (batch, C.PREAMBLE_SAMPLES)),
+    )
+
+
+def _step(args, s, inc):
+    """One serialized iteration: perturb inputs by (s + inc), run the full
+    chain, reduce to one scalar that feeds the next iteration."""
+    eps = s + inc
+    args = jax.tree.map(lambda x: x * (1.0 + eps), args)
+    out = sc.rx_chain(*args)
+    flat = jnp.stack(jax.tree.leaves(jax.tree.map(jnp.sum, out)))
+    return jnp.tanh(jnp.sum(flat)) * 1e-9
 
 
 def main():
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 32768
-    iters = int(sys.argv[2]) if len(sys.argv) > 2 else 30
+    iters = int(sys.argv[2]) if len(sys.argv) > 2 else 64
 
-    fn = jax.jit(_gen_and_run, static_argnames=("batch",))
-    keys = jax.random.split(jax.random.PRNGKey(0), iters + 1)
+    base = jax.jit(_gen, static_argnames=("batch",))(jax.random.PRNGKey(0), batch)
+    jax.block_until_ready(base)
 
-    # compile + warmup
-    jax.block_until_ready(fn(keys[-1], batch))
+    fn = jax.jit(_step)
+    incs = [jnp.float32(1e-6 * i) for i in range(2 * iters)]
+    s = fn(base, jnp.float32(0.0), incs[0])
+    float(s)  # full warmup incl. readback path
 
-    t0 = time.perf_counter()
-    outs = [fn(keys[i], batch) for i in range(iters)]
-    jax.block_until_ready(outs)
-    dt = time.perf_counter() - t0
+    def run(n):
+        t0 = time.perf_counter()
+        sv = s
+        for i in range(n):
+            sv = fn(base, sv, incs[i])
+        float(sv)  # readback = the only trustworthy completion fence here
+        return time.perf_counter() - t0
+
+    dt1 = run(iters)
+    dt2 = run(2 * iters)
+    dt = max(dt2 - dt1, 1e-9)  # marginal time of `iters` extra iterations
 
     frames_per_s = batch * iters / dt
     result = {
-        "metric": "full-RX-chain (5 estimators + MMSE-blended equalization) frames/s, single chip",
+        "metric": "full-RX-chain (5 estimators + MMSE-blended equalization) frames/s, single chip, serialized",
         "value": round(frames_per_s, 1),
         "unit": "frames/s",
         "vs_baseline": round(frames_per_s / BASELINE_FRAMES_PER_S, 1),
         "batch": batch,
         "iters": iters,
         "wall_s": round(dt, 4),
+        "wall_s_single_loop": round(dt1, 4),
         "device": str(jax.devices()[0]),
     }
     print(json.dumps(result))
