@@ -45,20 +45,22 @@ struct Mat {
 
 // determinant by "condensation": rank-1 elimination into an (n-1)² minor,
 // recursing down to 2×2 — the O(n³)-per-determinant scheme the reference
-// uses for every cofactor (utils.c:543-569 behavioral spec).
+// uses for every cofactor (utils.c:543-569 behavioral spec).  The divided
+// form (sub = A[1:,1:] − (A[1:,0]/p)·A[0,1:], det = p·det(sub)) keeps
+// entries bounded; the multiply-then-rescale form overflows long double
+// by n≈50.
 cld det_condense(const Mat& m) {
   int n = m.n;
   if (n == 1) return m.at(0, 0);
   if (n == 2) return m.at(0, 0) * m.at(1, 1) - m.at(0, 1) * m.at(1, 0);
   Mat sub(n - 1);
   cld p = m.at(0, 0);
-  for (int r = 1; r < n; ++r)
+  for (int r = 1; r < n; ++r) {
+    cld f = m.at(r, 0) / p;
     for (int c = 1; c < n; ++c)
-      sub.at(r - 1, c - 1) = m.at(r, c) * p - m.at(r, 0) * m.at(0, c);
-  cld d = det_condense(sub);
-  // each condensation multiplies det by p^(n-2)
-  cld scale = std::pow(p, (ld)(n - 2));
-  return d / scale;
+      sub.at(r - 1, c - 1) = m.at(r, c) - f * m.at(0, c);
+  }
+  return p * det_condense(sub);
 }
 
 // minor(A, drop_row, drop_col)
@@ -350,6 +352,66 @@ void equalize(const double* rx_re, const double* rx_im,
       out_im[b * NSC + k] = (double)out.imag();
     }
   }
+}
+
+// Determinants — the reference carries three algorithms (utils.c):
+// textbook Laplace expansion (CalcDeterminant, utils.c:462 — O(n!)),
+// rank-1 condensation (determinant_impl_rec, utils.c:543 — what every
+// inverse uses), and in-place Gaussian elimination with pivot swaps
+// (determinant_impl, utils.c:572).  Its own commented-out self-check
+// compares them on a random 53×53 matrix (main_openmp.c:216-245); our
+// test suite runs that comparison for real.
+// method: 0=condensation, 1=elimination, 2=Laplace (n ≤ 10 enforced).
+void determinant_n(const double* a_re, const double* a_im, int n, int method,
+                   double* out_re, double* out_im) {
+  Mat m(n);
+  for (int r = 0; r < n; ++r)
+    for (int c = 0; c < n; ++c)
+      m.at(r, c) = cld((ld)a_re[r * n + c], (ld)a_im[r * n + c]);
+  cld d;
+  if (method == 0) {
+    d = det_condense(m);
+  } else if (method == 1) {
+    // Gaussian elimination with partial pivoting; det = ±Π diag
+    ld sign = 1.0L;
+    for (int col = 0; col < n; ++col) {
+      int piv = col;
+      ld best = std::abs(m.at(col, col));
+      for (int r = col + 1; r < n; ++r)
+        if (std::abs(m.at(r, col)) > best) { best = std::abs(m.at(r, col)); piv = r; }
+      if (piv != col) {
+        for (int c = 0; c < n; ++c) std::swap(m.at(piv, c), m.at(col, c));
+        sign = -sign;
+      }
+      cld p = m.at(col, col);
+      if (p == cld(0.0L)) { d = 0.0L; goto done_elim; }
+      for (int r = col + 1; r < n; ++r) {
+        cld f = m.at(r, col) / p;
+        for (int c = col; c < n; ++c) m.at(r, c) -= f * m.at(col, c);
+      }
+    }
+    d = sign;
+    for (int i = 0; i < n; ++i) d *= m.at(i, i);
+  done_elim:;
+  } else {
+    // Laplace cofactor expansion along row 0 — exponential; small n only
+    if (n > 10) { *out_re = 0.0; *out_im = 0.0; return; }
+    struct Rec {
+      static cld det(const Mat& m) {
+        int n = m.n;
+        if (n == 1) return m.at(0, 0);
+        cld acc = 0.0L;
+        for (int j = 0; j < n; ++j) {
+          cld cof = det(minor_of(m, 0, j));
+          acc += ((j % 2 == 0) ? 1.0L : -1.0L) * m.at(0, j) * cof;
+        }
+        return acc;
+      }
+    };
+    d = Rec::det(m);
+  }
+  *out_re = (double)d.real();
+  *out_im = (double)d.imag();
 }
 
 // n×n inverse entry point (kernel-level parity/timing; n=53 in production).

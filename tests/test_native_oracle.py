@@ -107,3 +107,35 @@ def test_equalize(capture):
         np.asarray(h_ps, np.complex128),
     )
     assert _rel(got, want) < 1e-14
+
+
+@pytest.mark.parametrize("n", [3, 6, 8])
+def test_determinant_three_algorithms_agree(n):
+    """The reference's own (commented-out) determinant self-check
+    (main_openmp.c:216-245), made real: condensation == elimination ==
+    Laplace == numpy on random complex matrices."""
+    rng = np.random.default_rng(n)
+    a = rng.standard_normal((n, n)) + 1j * rng.standard_normal((n, n))
+    want = np.linalg.det(a)
+    for method in ("condensation", "elimination", "laplace"):
+        got = nat.determinant(a, method)
+        assert abs(got - want) / abs(want) < 1e-10, (method, got, want)
+
+
+def test_determinant_53_elimination_vs_condensation():
+    """Condensation vs pivoted elimination on the reference's actual
+    53×53 use case — the raw DFT matrix (main.c:186) — and on a
+    diagonally-dominant random matrix."""
+    from tpu80211.ops.linalg import dft_matrix
+
+    a = dft_matrix()
+    d1 = nat.determinant(a, "elimination")
+    d2 = nat.determinant(a, "condensation")
+    assert abs(d1 - d2) / abs(d1) < 1e-6
+
+    rng = np.random.default_rng(7)
+    b = rng.standard_normal((53, 53)) + 1j * rng.standard_normal((53, 53))
+    b += 8 * np.eye(53)
+    d1 = nat.determinant(b, "elimination")
+    d2 = nat.determinant(b, "condensation")
+    assert abs(d1 - d2) / abs(d1) < 1e-8

@@ -44,6 +44,21 @@ def _build_parser() -> argparse.ArgumentParser:
     par.add_argument("--mode", default="math",
                      choices=["math", "matlab", "c_parity"])
 
+    st = sub.add_parser("stream", help="stream synthetic frames through the chain")
+    st.add_argument("--batches", type=int, default=4)
+    st.add_argument("--batch", type=int, default=1024)
+    st.add_argument("--out-dir", default=None,
+                    help="persist per-batch H_EST shards + resume cursor")
+    st.add_argument("--snr-db", type=float, default=40.0)
+    st.add_argument("--cpu", action="store_true",
+                    help="run on the CPU backend (shard persistence does "
+                         "many small device→host fetches, which stall over "
+                         "a tunneled TPU)")
+
+    sw = sub.add_parser("sweep", help="mesh-shape scaling sweep")
+    sw.add_argument("--batch", type=int, default=4096)
+    sw.add_argument("--iters", type=int, default=5)
+
     sub.add_parser("devices", help="show backend devices")
     return p
 
@@ -133,6 +148,29 @@ def _cmd_parity(args) -> int:
     return 0 if ok else 1
 
 
+def _cmd_stream(args) -> int:
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    from tpu80211.pipeline import stream
+
+    res = stream.run_stream(
+        stream.synthetic_batches(args.batches, args.batch, snr_db=args.snr_db),
+        out_dir=args.out_dir,
+    )
+    print(json.dumps(res))
+    return 0
+
+
+def _cmd_sweep(args) -> int:
+    from tpu80211.bench.scaling import sweep
+
+    for row in sweep(batch=args.batch, iters=args.iters):
+        print(json.dumps(row))
+    return 0
+
+
 def _cmd_devices(_args) -> int:
     import jax
 
@@ -155,6 +193,8 @@ def main(argv=None) -> int:
         "run": _cmd_run,
         "bench": _cmd_bench,
         "parity": _cmd_parity,
+        "stream": _cmd_stream,
+        "sweep": _cmd_sweep,
         "devices": _cmd_devices,
     }[args.cmd](args)
 

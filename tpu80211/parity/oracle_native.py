@@ -53,6 +53,7 @@ def _lib() -> ctypes.CDLL:
     )
     lib.equalize.argtypes = [_D] * 8
     lib.inverse_n.argtypes = [_D] * 4 + [ctypes.c_int] * 2
+    lib.determinant_n.argtypes = [_D] * 2 + [ctypes.c_int] * 2 + [_D] * 2
     return lib
 
 
@@ -147,3 +148,21 @@ def inverse(a, use_cofactor: bool = True) -> np.ndarray:
     yi = np.zeros(n * n)
     _lib().inverse_n(_ptr(ar), _ptr(ai), _ptr(yr), _ptr(yi), n, int(use_cofactor))
     return (yr + 1j * yi).reshape(n, n)
+
+
+def determinant(a, method: str = "condensation") -> complex:
+    """Native n×n determinant.
+
+    The reference ships three algorithms (utils.c:462/543/572); this
+    exposes all of them for the cross-check its own commented scaffold
+    intended (main_openmp.c:216-245).  method ∈ {"condensation",
+    "elimination", "laplace"} (laplace: n ≤ 10).
+    """
+    a = np.asarray(a, np.complex128)
+    n = a.shape[0]
+    ar, ai = _planes(a, n * n)
+    outr = np.zeros(1)
+    outi = np.zeros(1)
+    m = {"condensation": 0, "elimination": 1, "laplace": 2}[method]
+    _lib().determinant_n(_ptr(ar), _ptr(ai), n, m, _ptr(outr), _ptr(outi))
+    return complex(outr[0], outi[0])

@@ -222,24 +222,22 @@ def rx_chain(
     tx_lptot: Cplx,    # (…, 160)
     rx_lptot: Cplx,    # (…, 160)
     avg_blocks: int = C.N_AVG_BLOCKS,
+    equalize_with: str = "h_mmse",
 ) -> RxOutputs:
     """The full WiFi_RX.m chain, batched: time-domain samples → estimates →
-    equalized symbols.  Pure function of its inputs; jit/vmap/shard-ready."""
+    equalized symbols.  Pure function of its inputs; jit/vmap/shard-ready.
+
+    ``equalize_with`` names the PS estimate blended into the equalizer CFR
+    (WiFi_RX.m:60 passes any of the five; default MMSE)."""
     tx_pre = preamble_fft(tx_lptot)
     rx_pre = preamble_fft(rx_lptot)
     ow2 = noise_power(rx_lptot)
     tx_blocks = extract_blocks(tx_packet)
     rx_blocks = extract_blocks(rx_packet)
-
-    h_lt = lt_ls(tx_pre, rx_pre)
-    h_lin = ps_interp(tx_blocks, rx_blocks, "linear", avg_blocks=avg_blocks)
-    h_cub = ps_interp(tx_blocks, rx_blocks, "cubic", avg_blocks=avg_blocks)
-    h_sin = ps_interp(tx_blocks, rx_blocks, "sinc", avg_blocks=avg_blocks)
-    h_spl = ps_interp(tx_blocks, rx_blocks, "spline", avg_blocks=avg_blocks)
-    h_mmse = ps_mmse_sm(tx_blocks, rx_blocks, ow2, h_lt, avg_blocks=avg_blocks)
-
-    eq = equalize(rx_blocks, h_lt, h_mmse)
-    return RxOutputs(h_lt, h_lin, h_cub, h_sin, h_spl, h_mmse, eq, ow2)
+    return rx_chain_freq(
+        tx_pre, rx_pre, tx_blocks, rx_blocks, ow2,
+        avg_blocks=avg_blocks, equalize_with=equalize_with,
+    )
 
 
 def rx_chain_freq(
@@ -249,6 +247,7 @@ def rx_chain_freq(
     rx_blocks: Cplx,   # (…, 15, 53)
     ow2: jnp.ndarray,  # (…,)
     avg_blocks: int = C.N_AVG_BLOCKS,
+    equalize_with: str = "h_mmse",
 ) -> RxOutputs:
     """Frequency-domain entry (the C drivers' view, inputs.h:20-928):
     skips the front end, runs estimators + equalization."""
@@ -258,5 +257,9 @@ def rx_chain_freq(
     h_sin = ps_interp(tx_blocks, rx_blocks, "sinc", avg_blocks=avg_blocks)
     h_spl = ps_interp(tx_blocks, rx_blocks, "spline", avg_blocks=avg_blocks)
     h_mmse = ps_mmse_sm(tx_blocks, rx_blocks, ow2, h_lt, avg_blocks=avg_blocks)
-    eq = equalize(rx_blocks, h_lt, h_mmse)
+    h_ps = {
+        "h_linear": h_lin, "h_cubic": h_cub, "h_sinc": h_sin,
+        "h_spline": h_spl, "h_mmse": h_mmse,
+    }[equalize_with]
+    eq = equalize(rx_blocks, h_lt, h_ps)
     return RxOutputs(h_lt, h_lin, h_cub, h_sin, h_spl, h_mmse, eq, ow2)
