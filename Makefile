@@ -1,0 +1,29 @@
+# Top-level orchestration — replaces the reference's compile.c (fork/execv
+# of g++/mpiCC per variant, compile.c:22-61).
+.PHONY: all native test parity bench sweep plots clean
+
+all: native test
+
+native:
+	$(MAKE) -C native
+
+test: native
+	python -m pytest tests/ -q
+
+parity: native
+	python -m tpu80211.cli parity --mode math
+	python -m tpu80211.cli parity --mode matlab
+	python -m tpu80211.cli parity --mode c_parity
+
+bench:
+	python bench.py
+
+sweep:
+	python -m tpu80211.cli sweep
+
+plots:
+	python -m tpu80211.cli plot --out-prefix artifacts/cfr
+
+clean:
+	$(MAKE) -C native clean
+	rm -rf artifacts .pytest_cache

@@ -59,6 +59,12 @@ def _build_parser() -> argparse.ArgumentParser:
     sw.add_argument("--batch", type=int, default=4096)
     sw.add_argument("--iters", type=int, default=5)
 
+    pl = sub.add_parser("plot", help="write CFR PNGs (the reference's "
+                        "Real_Part/Imag_Part artifact family)")
+    pl.add_argument("--out-prefix", default="artifacts/cfr")
+    pl.add_argument("--mode", default="math",
+                    choices=["math", "matlab", "c_parity"])
+
     sub.add_parser("devices", help="show backend devices")
     return p
 
@@ -171,6 +177,39 @@ def _cmd_sweep(args) -> int:
     return 0
 
 
+def _cmd_plot(args) -> int:
+    import pathlib
+
+    import jax.numpy as jnp
+
+    from tpu80211.config import EstimatorMode
+    from tpu80211.datasets.loader import load_capture
+    from tpu80211.models import lt_ls, ps_interp, ps_mmse
+    from tpu80211.utils.plots import plot_cfr
+
+    mode = EstimatorMode(args.mode)
+    cap = load_capture()
+    tx_pre = jnp.asarray(cap.tx_preamble_fft)
+    rx_pre = jnp.asarray(cap.rx_preamble_fft)
+    txb = jnp.asarray(cap.tx_symb)
+    rxb = jnp.asarray(cap.rx_symb)
+    h_lt = lt_ls(tx_pre, rx_pre, mode=mode)
+    ests = {"LT-LS": np.asarray(h_lt)}
+    for kind in ("linear", "cubic", "sinc", "spline"):
+        ests[f"PS-{kind}"] = np.asarray(ps_interp(txb, rxb, kind, mode=mode))
+    ests["PS-MMSE"] = np.asarray(ps_mmse(txb, rxb, cap.ow2, h_lt, mode=mode))
+
+    pathlib.Path(args.out_prefix).parent.mkdir(parents=True, exist_ok=True)
+    paths = plot_cfr(ests, args.out_prefix,
+                     title=f"CFR estimates ({mode.value} mode)")
+    # the LTS-only pair mirrors Real_Part_LTS.png / Imag_Part_LTS.png
+    paths += plot_cfr({"LT-LS": ests["LT-LS"]}, args.out_prefix + "_lts",
+                      title=f"LT-LS CFR ({mode.value} mode)")
+    for pth in paths:
+        print(pth)
+    return 0
+
+
 def _cmd_devices(_args) -> int:
     import jax
 
@@ -181,7 +220,7 @@ def _cmd_devices(_args) -> int:
 
 def main(argv=None) -> int:
     args = _build_parser().parse_args(argv)
-    if args.cmd in ("run", "parity"):
+    if args.cmd in ("run", "parity", "plot"):
         # complex-dtype reference paths: the axon TPU runtime does not
         # lower complex64 fft/divide — pin these commands to CPU (the
         # split-complex production path via `bench` uses the TPU)
@@ -195,6 +234,7 @@ def main(argv=None) -> int:
         "parity": _cmd_parity,
         "stream": _cmd_stream,
         "sweep": _cmd_sweep,
+        "plot": _cmd_plot,
         "devices": _cmd_devices,
     }[args.cmd](args)
 
