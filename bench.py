@@ -45,14 +45,14 @@ from tpu80211.pipeline import sc
 BASELINE_FRAMES_PER_S = 1.0 / 5.49
 
 
-def _gen(key, batch: int):
+def _gen(key, batch: int, dtype=jnp.float32):
     """Synthesize a random Cplx frame batch on device."""
     ks = jax.random.split(key, 8)
 
     def cplx(k1, k2, shape):
         return Cplx(
-            jax.random.normal(k1, shape, jnp.float32),
-            jax.random.normal(k2, shape, jnp.float32),
+            jax.random.normal(k1, shape, jnp.float32).astype(dtype),
+            jax.random.normal(k2, shape, jnp.float32).astype(dtype),
         )
 
     return (
@@ -74,10 +74,15 @@ def _step(args, s, inc):
 
 
 def main():
-    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 32768
-    iters = int(sys.argv[2]) if len(sys.argv) > 2 else 64
+    argv = [a for a in sys.argv[1:] if a != "--bf16"]
+    bf16 = "--bf16" in sys.argv[1:]
+    batch = int(argv[0]) if len(argv) > 0 else 32768
+    iters = int(argv[1]) if len(argv) > 1 else 64
+    dtype = jnp.bfloat16 if bf16 else jnp.float32
 
-    base = jax.jit(_gen, static_argnames=("batch",))(jax.random.PRNGKey(0), batch)
+    base = jax.jit(_gen, static_argnames=("batch", "dtype"))(
+        jax.random.PRNGKey(0), batch, dtype
+    )
     jax.block_until_ready(base)
 
     fn = jax.jit(_step)
@@ -105,6 +110,7 @@ def main():
         "vs_baseline": round(frames_per_s / BASELINE_FRAMES_PER_S, 1),
         "batch": batch,
         "iters": iters,
+        "dtype": "bf16" if bf16 else "f32",
         "wall_s": round(dt, 4),
         "wall_s_single_loop": round(dt1, 4),
         "device": str(jax.devices()[0]),

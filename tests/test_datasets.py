@@ -43,3 +43,20 @@ def test_preamble_fft_matches_inputs_h(capture):
 def test_noise_power_matches_ow2(capture):
     got = float(noise_power_estimate(jnp.asarray(capture.rx_lptot)))
     assert abs(got - capture.ow2) / capture.ow2 < 1e-4
+
+
+def test_synthetic_frequency_offset():
+    """CFO option rotates each successive OFDM block by a constant phase
+    (the dominant effect of the capture's 20 kHz offset, WiFi_RX.m:9)."""
+    import jax
+    import jax.numpy as jnp
+    from tpu80211.datasets import synthetic
+
+    fb0 = synthetic.generate(jax.random.PRNGKey(5), 4, snr_db=200.0)
+    fb1 = synthetic.generate(jax.random.PRNGKey(5), 4, snr_db=200.0, fo_hz=20e3)
+    r = np.asarray(fb1.rx_symb) / np.asarray(fb0.rx_symb)
+    # per-block phase: 2π·20e3·80·b/20e6 = 0.0504·b rad
+    ang = np.angle(np.nanmedian(r, axis=(0, 2)))
+    want = (2 * np.pi * 20e3 * 80 / 20e6) * np.arange(15)
+    want = np.angle(np.exp(1j * want))  # wrap
+    np.testing.assert_allclose(ang, want, atol=1e-3)

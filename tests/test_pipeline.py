@@ -149,3 +149,23 @@ def test_mmse_estimate_quality(batch):
     err = np.abs(h - h_true)[:, mask]
     rel = err.mean() / np.abs(h_true).mean()
     assert rel < 0.15, rel
+
+
+def test_bf16_storage_chain(batch):
+    """bf16-storage chain tracks the f32 chain within bf16 precision —
+    the halved-HBM-traffic production mode."""
+    txp = _c(batch.tx_preamble_fft).astype(jnp.bfloat16)
+    rxp = _c(batch.rx_preamble_fft).astype(jnp.bfloat16)
+    txb = _c(batch.tx_symb).astype(jnp.bfloat16)
+    rxb = _c(batch.rx_symb).astype(jnp.bfloat16)
+    out16 = sc.rx_chain_freq(txp, rxp, txb, rxb, batch.ow2)
+    out32 = sc.rx_chain_freq(
+        _c(batch.tx_preamble_fft), _c(batch.rx_preamble_fft),
+        _c(batch.tx_symb), _c(batch.rx_symb), batch.ow2,
+    )
+    assert out16.eq.dtype == jnp.bfloat16
+    for name, tol in (("h_lt", 3e-2), ("h_linear", 3e-2), ("h_mmse", 6e-2)):
+        got = getattr(out16, name).to_complex()
+        want = getattr(out32, name).to_complex()
+        rel = np.abs(got - want).max() / np.abs(want).max()
+        assert rel < tol, (name, rel)

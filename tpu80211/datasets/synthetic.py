@@ -89,8 +89,19 @@ def _lts_spectrum() -> np.ndarray:
     return s
 
 
-def generate(key, batch: int, snr_db: float = 40.0, dtype=jnp.complex64) -> FrameBatch:
-    """Generate a FrameBatch of ``batch`` random frames at ``snr_db``."""
+def generate(
+    key, batch: int, snr_db: float = 40.0, dtype=jnp.complex64,
+    fo_hz: float = 0.0, sample_rate_hz: float = 20e6,
+) -> FrameBatch:
+    """Generate a FrameBatch of ``batch`` random frames at ``snr_db``.
+
+    ``fo_hz`` adds a carrier frequency offset (the shipped capture carries
+    20 kHz, WiFi_RX.m:9).  In this frequency-domain generator a constant
+    CFO appears as a common per-block phase rotation of
+    exp(2πi·fo·80·b/fs) (one OFDM symbol = 80 samples) plus ICI, of which
+    the rotation is the dominant term at 20 kHz/20 MHz; only the rotation
+    is modeled.
+    """
     k_ch, k_data, k_n1, k_n2, k_n3 = jax.random.split(key, 5)
 
     h = _cfr_from_taps(_channel_taps(k_ch, batch)).astype(dtype)  # (B, 53)
@@ -120,6 +131,12 @@ def generate(key, batch: int, snr_db: float = 40.0, dtype=jnp.complex64) -> Fram
         ).astype(dtype) * nsc
 
     rx = tx * h[:, None, :] + _noise(k_n1, (batch, C.N_BLOCKS, C.N_SC))
+    if fo_hz:
+        ang = (
+            2.0 * np.pi * fo_hz * C.SAMP_PER_BLOCK / sample_rate_hz
+        ) * np.arange(C.N_BLOCKS)
+        rot = jnp.asarray(np.exp(1j * ang), dtype)[None, :, None]
+        rx = rx * rot
     rx_pre = tx_pre * h + _noise(k_n2, (batch, C.N_SC))
 
     ow2 = jnp.full((batch,), sigma2, jnp.float32)

@@ -64,10 +64,11 @@ def preamble_fft(lptot: Cplx) -> Cplx:
 
 
 def noise_power(rx_lptot: Cplx) -> jnp.ndarray:
-    """σ² from the LTS repeat difference (WiFi_RX.m:31); real (…,) array."""
+    """σ² from the LTS repeat difference (WiFi_RX.m:31); real (…,) array.
+    f32 accumulation regardless of storage dtype."""
     rep1 = rx_lptot[..., -C.N_FFT :]
     rep2 = rx_lptot[..., -2 * C.N_FFT : -C.N_FFT]
-    d = rep2 - rep1
+    d = (rep2 - rep1).astype(jnp.float32)
     return jnp.sum(d.abs2(), axis=-1) / (2 * C.N_FFT)
 
 
@@ -75,7 +76,12 @@ def noise_power(rx_lptot: Cplx) -> jnp.ndarray:
 
 
 def lt_ls(tx_pre: Cplx, rx_pre: Cplx) -> Cplx:
-    """LT-LS estimate (…, 53); DC forced to 0 (WiFi_channel_estimation_LT_LS.m)."""
+    """LT-LS estimate (…, 53); DC forced to 0 (WiFi_channel_estimation_LT_LS.m).
+
+    Computes at f32 even under bf16 storage — per-subcarrier ratios are
+    precision-critical and tiny relative to the frame arrays."""
+    tx_pre = tx_pre.astype(jnp.float32)
+    rx_pre = rx_pre.astype(jnp.float32)
     denom = tx_pre.abs2()  # conj(X)·X is real
     denom = jnp.where(_DC, jnp.ones((), denom.dtype), denom)
     num = tx_pre.conj() * rx_pre
@@ -85,8 +91,10 @@ def lt_ls(tx_pre: Cplx, rx_pre: Cplx) -> Cplx:
 
 
 def pilot_ratios(tx: Cplx, rx: Cplx) -> Cplx:
-    """(…, 53) → (…, 4) pilot ratios rx[p]/tx[p]."""
-    return rx[..., _PILOTS] / tx[..., _PILOTS]
+    """(…, 53) → (…, 4) pilot ratios rx[p]/tx[p] (f32 compute)."""
+    return rx[..., _PILOTS].astype(jnp.float32) / tx[..., _PILOTS].astype(
+        jnp.float32
+    )
 
 
 def ps_interp(
@@ -136,8 +144,8 @@ def ps_mmse_sm(
     h_t = apply_dft(h_lt, jnp.asarray(i_re, jnp.float32), jnp.asarray(i_im, jnp.float32))
     v = apply_dft(h_t, jnp.asarray(f_re, jnp.float32), jnp.asarray(f_im, jnp.float32))
 
-    tx = tx_blocks[..., :avg_blocks, :]
-    rx = rx_blocks[..., :avg_blocks, :]
+    tx = tx_blocks[..., :avg_blocks, :].astype(jnp.float32)
+    rx = rx_blocks[..., :avg_blocks, :].astype(jnp.float32)
     vb = v[..., None, :]  # broadcast over blocks
     u = tx * vb
     denom = ow2[..., None] + u.abs2().sum(axis=-1)  # (…, avg) real
@@ -182,7 +190,12 @@ def ps_mmse_dense(
 
 
 def equalize(rx_blocks: Cplx, h_lt: Cplx, h_ps: Cplx) -> Cplx:
-    """Blended-CFR equalization (WiFi_Equalization.m:3-8); DC column zero."""
+    """Blended-CFR equalization (WiFi_Equalization.m:3-8); DC column zero.
+    Output keeps rx_blocks' storage dtype (bf16 in, bf16 out)."""
+    out_dtype = rx_blocks.dtype
+    rx_blocks = rx_blocks.astype(jnp.float32)
+    h_lt = h_lt.astype(jnp.float32)
+    h_ps = h_ps.astype(jnp.float32)
     n = rx_blocks.shape[-2]
     i = jnp.arange(1, n + 1, dtype=jnp.float32)[:, None]
     w_lt = (n - i) / n
@@ -197,7 +210,8 @@ def equalize(rx_blocks: Cplx, h_lt: Cplx, h_ps: Cplx) -> Cplx:
     )
     eq = rx_blocks / safe
     zero = jnp.zeros((), eq.re.dtype)
-    return Cplx(jnp.where(_DC, zero, eq.re), jnp.where(_DC, zero, eq.im))
+    eq = Cplx(jnp.where(_DC, zero, eq.re), jnp.where(_DC, zero, eq.im))
+    return eq.astype(out_dtype)
 
 
 # -- full chain ----------------------------------------------------------------
