@@ -35,7 +35,8 @@ def _native_chain(cap, mode):
         "h_spline": nat.ps_interp(cap.tx_symb, cap.rx_symb, "spline", mode),
         "h_mmse": nat.ps_mmse(cap.tx_symb, cap.rx_symb, cap.ow2, h_lt, mode),
     }
-    h["eq"] = nat.equalize(cap.rx_symb, h_lt, h["h_mmse"])
+    # the golden chain equalizes with PS-Linear (WiFi_RX.m:60)
+    h["eq"] = nat.equalize(cap.rx_symb, h_lt, h["h_linear"])
     return h
 
 
@@ -75,7 +76,7 @@ def test_sc_chain_vs_native_math(capture):
         "h_spline": 1e-5,
         # MMSE magnitudes scale as 1/σ² (σ²≈1e-7): f32 relative error grows
         "h_mmse": 5e-3,
-        "eq": 5e-3,
+        "eq": 1e-4,
     }
     for name, tol in tols.items():
         got = getattr(out, name)

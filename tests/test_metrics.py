@@ -15,12 +15,16 @@ from tpu80211.utils import metrics
 @pytest.fixture(scope="module")
 def run():
     fb = synthetic.generate(jax.random.PRNGKey(11), batch=32, snr_db=40.0)
+    # equalize with the MMSE blend for the quality gates — the default
+    # PS-Linear blend (reference semantics, WiFi_RX.m:60) cannot track the
+    # synthetic 8-tap channel from 4 pilots
     out = sc.rx_chain_freq(
         Cplx.from_complex(np.asarray(fb.tx_preamble_fft)),
         Cplx.from_complex(np.asarray(fb.rx_preamble_fft)),
         Cplx.from_complex(np.asarray(fb.tx_symb)),
         Cplx.from_complex(np.asarray(fb.rx_symb)),
         jnp.asarray(np.asarray(fb.ow2)),
+        equalize_with="h_mmse",
     )
     return fb, out
 

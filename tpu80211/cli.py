@@ -111,8 +111,19 @@ def _cmd_run(args) -> int:
 
 
 def _cmd_bench(args) -> int:
-    import bench as bench_mod  # repo-root bench.py
+    # repo-root bench.py is not part of the installed package; load it by
+    # path so the console script works from any cwd
+    import importlib.util
+    import pathlib
 
+    root = pathlib.Path(__file__).resolve().parents[1]
+    bench_path = root / "bench.py"
+    if not bench_path.exists():
+        print(f"bench.py not found at {bench_path}", file=sys.stderr)
+        return 2
+    spec = importlib.util.spec_from_file_location("tpu80211_bench", bench_path)
+    bench_mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench_mod)
     sys.argv = ["bench.py", str(args.batch), str(args.iters)]
     bench_mod.main()
     return 0

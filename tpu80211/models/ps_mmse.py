@@ -79,7 +79,8 @@ def _mmse_block_dense(v, tx, rx, ow2, solve_fn, matlab_conj: bool):
     """
     u = tx * v
     eye = jnp.eye(C.N_SC, dtype=v.dtype)
-    ryy = ow2 * eye + u[..., :, None] * jnp.conj(u[..., None, :])
+    ow2_m = ow2[..., None, None] if jnp.ndim(ow2) else ow2  # (...,1,1) vs eye
+    ryy = ow2_m * eye + u[..., :, None] * jnp.conj(u[..., None, :])
     z = solve_fn(ryy, rx[..., :, None])[..., 0]       # Ryy⁻¹·rx
     s = _cdot(jnp.conj(tx) * v if matlab_conj else u, z)
     return v * s[..., None]
@@ -92,7 +93,7 @@ def _solve_xla(a, b):
 def ps_mmse(
     tx_blocks: jnp.ndarray,  # (..., n_blocks, 53)
     rx_blocks: jnp.ndarray,  # (..., n_blocks, 53)
-    ow2,                     # noise power σ² (scalar or broadcastable)
+    ow2,                     # σ²: scalar, or per-frame (...,) matching h_lt
     h_lt: jnp.ndarray,       # (..., 53) LT-LS estimate
     mode: EstimatorMode = EstimatorMode.MATH,
     solver: str = "sm",
@@ -102,11 +103,18 @@ def ps_mmse(
     if mode == EstimatorMode.C_PARITY:
         return _ps_mmse_c_parity(tx_blocks, rx_blocks, ow2, h_lt)
 
-    h_t = idft_apply(h_lt)                       # ifft(H_LT) — (..., 53)
-    v = jnp.fft.fft(h_t, axis=-1)                # F·h (F is the DFT matrix)
+    # v = F·ifft(H_LT) is *exactly* H_LT (F is the same DFT the ifft
+    # inverts, WiFi_channel_estimation_PS_MMSE.m:16-26) — so Rhh = h·hᴴ
+    # gives F·Rhh·Fᴴ = v·vᴴ with v = H_LT, no transforms needed.
+    v = h_lt
     tx = tx_blocks[..., :avg_blocks, :]
     rx = rx_blocks[..., :avg_blocks, :]
     vb = v[..., None, :]                         # broadcast over blocks
+    # ow2: scalar, or per-frame with shape == leading dims of h_lt (...,);
+    # add the block axis so a (B,) vector never broadcasts into blocks
+    ow2 = jnp.asarray(ow2)
+    if ow2.ndim:
+        ow2 = ow2[..., None]
     mlc = mode == EstimatorMode.MATLAB
     if solver == "sm":
         h = _mmse_block_sm(vb, tx, rx, ow2, mlc)

@@ -128,14 +128,11 @@ def rx_step_shardmap(mesh: Mesh, avg_blocks: int = C.N_AVG_BLOCKS):
         hp = sc.pilot_ratios(tx_blocks, rx_blocks)  # (b_loc, nb_local, 4)
 
         def interp(kind):
+            from tpu80211.cplx import matmul_real
             from tpu80211.ops.interp import interp_matrix
 
             w = jnp.asarray(interp_matrix(kind), jnp.float32)
-            per_block = Cplx(
-                jnp.matmul(hp.re, w, preferred_element_type=jnp.float32),
-                jnp.matmul(hp.im, w, preferred_element_type=jnp.float32),
-            )
-            return psum_avg(per_block)
+            return psum_avg(matmul_real(hp, w))
 
         h_lin = interp("linear")
         h_cub = interp("cubic")
@@ -146,8 +143,10 @@ def rx_step_shardmap(mesh: Mesh, avg_blocks: int = C.N_AVG_BLOCKS):
         h_mmse = psum_avg(_mmse_per_block(tx_blocks, rx_blocks, ow2, h_lt))
 
         # equalize local blocks with their *global* 1-based block index in
-        # the LT↔PS blend (WiFi_Equalization.m:4 uses the global index)
-        eq = _equalize_global(rx_blocks, h_lt, h_mmse, local_ids)
+        # the LT↔PS blend (WiFi_Equalization.m:4 uses the global index);
+        # PS-Linear blend matches the golden model and sc.rx_chain_freq's
+        # default (WiFi_RX.m:60)
+        eq = _equalize_global(rx_blocks, h_lt, h_lin, local_ids)
 
         # global scalar metric: mean |H_mmse|² over all frames.  h_mmse is
         # already invariant over blk (psum_avg reduced that axis), so only
@@ -186,15 +185,10 @@ def rx_step_shardmap(mesh: Mesh, avg_blocks: int = C.N_AVG_BLOCKS):
 
 
 def _mmse_per_block(tx_blocks: Cplx, rx_blocks: Cplx, ow2, h_lt: Cplx) -> Cplx:
-    """Per-block (un-averaged) Sherman-Morrison MMSE estimates (…, nb, 53)."""
-    from tpu80211.ops import specmats
-    from tpu80211.cplx import apply_dft
+    """Per-block (un-averaged) Sherman-Morrison MMSE estimates (…, nb, 53).
 
-    i_re, i_im = specmats.idft53()
-    f_re, f_im = specmats.dft53()
-    h_t = apply_dft(h_lt, jnp.asarray(i_re, jnp.float32), jnp.asarray(i_im, jnp.float32))
-    v = apply_dft(h_t, jnp.asarray(f_re, jnp.float32), jnp.asarray(f_im, jnp.float32))
-    vb = v[..., None, :]
+    v = F·ifft(H_LT) = H_LT exactly (see sc.ps_mmse_sm) — no transforms."""
+    vb = h_lt.astype(jnp.float32)[..., None, :]
     u = tx_blocks * vb
     # MATH mode: Rhy uses X4ᴴ, collapsing SM to the stable
     # s = uᴴrx/(σ²+‖u‖²) (see config.EstimatorMode / sc.ps_mmse_sm)

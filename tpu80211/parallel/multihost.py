@@ -39,9 +39,16 @@ def init_distributed(
     On TPU pods all arguments auto-detect from the metadata server; on CPU
     or GPU clusters pass them explicitly (the reference instead derived its
     world from `mpirun -np` + LSF host lists, main_mpi.bash:13-29).
+
+    MUST run before any other JAX call: touching any JAX API (even
+    `jax.process_count()`) initializes the XLA backend, after which
+    `jax.distributed.initialize` refuses to run.  Failures are only
+    swallowed for the implicit single-process case; with explicit
+    multi-host arguments they re-raise — a silently-single-host "cluster"
+    is the failure mode this guards against.
     """
-    if jax.process_count() > 1:
-        return  # already initialized
+    if getattr(jax.distributed, "is_initialized", lambda: False)():
+        return
     kwargs = {}
     if coordinator_address is not None:
         kwargs = dict(
@@ -51,9 +58,19 @@ def init_distributed(
         )
     try:
         jax.distributed.initialize(**kwargs)
-    except (RuntimeError, ValueError):
-        # single-process run (tests, single host) — nothing to do
-        pass
+    except RuntimeError as e:
+        already = "already initialized" in str(e).lower()
+        if coordinator_address is not None and not already:
+            raise  # explicit multi-host intent: do not degrade silently
+        if not already:
+            import warnings
+
+            warnings.warn(
+                f"jax.distributed.initialize unavailable ({e}); continuing "
+                "single-process. Call init_distributed() before any other "
+                "JAX API to enable multi-host.",
+                stacklevel=2,
+            )
 
 
 def hierarchical_mesh(blk: int = 1) -> Mesh:

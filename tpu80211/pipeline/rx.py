@@ -39,11 +39,15 @@ def rx_chain(
     rx_packet: jnp.ndarray,  # (…, 1200)
     tx_lptot: jnp.ndarray,   # (…, 160)
     rx_lptot: jnp.ndarray,   # (…, 160)
-    mode: EstimatorMode = EstimatorMode.MATLAB,
+    mode: EstimatorMode = EstimatorMode.MATH,
     mmse_solver: str = "sm",
     avg_blocks: int = C.N_AVG_BLOCKS,
+    equalize_with: str = "h_linear",
 ) -> RxOutputs:
-    """WiFi_RX.m:17-60, batched over leading dims."""
+    """WiFi_RX.m:17-60, batched over leading dims.
+
+    ``equalize_with`` selects the PS estimate blended into the equalizer
+    CFR; the golden model fixes PS-Linear (WiFi_RX.m:60)."""
     tx_pre = preamble_fft(tx_lptot)
     rx_pre = preamble_fft(rx_lptot)
     ow2 = noise_power_estimate(rx_lptot)
@@ -52,6 +56,7 @@ def rx_chain(
     return rx_chain_freq(
         tx_pre, rx_pre, tx_blocks, rx_blocks, ow2,
         mode=mode, mmse_solver=mmse_solver, avg_blocks=avg_blocks,
+        equalize_with=equalize_with,
     )
 
 
@@ -61,21 +66,28 @@ def rx_chain_freq(
     tx_blocks: jnp.ndarray,
     rx_blocks: jnp.ndarray,
     ow2,
-    mode: EstimatorMode = EstimatorMode.MATLAB,
+    mode: EstimatorMode = EstimatorMode.MATH,
     mmse_solver: str = "sm",
     avg_blocks: int = C.N_AVG_BLOCKS,
+    equalize_with: str = "h_linear",
 ) -> RxOutputs:
-    """Frequency-domain entry (the C drivers' view, inputs.h)."""
+    """Frequency-domain entry (the C drivers' view, inputs.h).
+
+    ``equalize_with`` selects the PS estimate for the equalizer blend
+    (WiFi_RX.m:60 uses PS-Linear)."""
     h_lt = lt_ls(tx_pre, rx_pre, mode=mode)
     kw = dict(mode=mode, avg_blocks=avg_blocks)
     h_lin = ps_interp(tx_blocks, rx_blocks, "linear", **kw)
     h_cub = ps_interp(tx_blocks, rx_blocks, "cubic", **kw)
     h_sin = ps_interp(tx_blocks, rx_blocks, "sinc", **kw)
     h_spl = ps_interp(tx_blocks, rx_blocks, "spline", **kw)
-    ow2_b = jnp.asarray(ow2)[..., None] if jnp.ndim(ow2) else ow2
     h_mmse = ps_mmse(
-        tx_blocks, rx_blocks, ow2_b, h_lt,
+        tx_blocks, rx_blocks, ow2, h_lt,
         mode=mode, solver=mmse_solver, avg_blocks=avg_blocks,
     )
-    eq = equalize(rx_blocks, h_lt, h_mmse)
+    h_ps = {
+        "h_linear": h_lin, "h_cubic": h_cub, "h_sinc": h_sin,
+        "h_spline": h_spl, "h_mmse": h_mmse,
+    }[equalize_with]
+    eq = equalize(rx_blocks, h_lt, h_ps)
     return RxOutputs(h_lt, h_lin, h_cub, h_sin, h_spl, h_mmse, eq, jnp.asarray(ow2))

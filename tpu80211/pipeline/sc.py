@@ -27,7 +27,7 @@ import numpy as np
 
 from tpu80211 import constants as C
 from tpu80211.config import EstimatorMode
-from tpu80211.cplx import Cplx, apply_dft
+from tpu80211.cplx import Cplx, apply_dft, matmul_real
 from tpu80211.ops import specmats
 from tpu80211.ops.interp import interp_matrix
 
@@ -101,7 +101,7 @@ def ps_interp(
     tx_blocks: Cplx,
     rx_blocks: Cplx,
     kind: str,
-    mode: EstimatorMode = EstimatorMode.MATLAB,
+    mode: EstimatorMode = EstimatorMode.MATH,
     avg_blocks: int = C.N_AVG_BLOCKS,
 ) -> Cplx:
     """Pilot-LS + static-matrix interpolation, averaged over the first
@@ -112,11 +112,7 @@ def ps_interp(
         tx_blocks[..., :avg_blocks, :], rx_blocks[..., :avg_blocks, :]
     )  # (…, avg, 4)
     w = jnp.asarray(interp_matrix(kind, mode), jnp.float32)  # (4, 53)
-    h = Cplx(
-        jnp.matmul(hp.re, w, preferred_element_type=jnp.float32),
-        jnp.matmul(hp.im, w, preferred_element_type=jnp.float32),
-    )
-    return h.mean(axis=-2)
+    return matmul_real(hp, w).mean(axis=-2)
 
 
 def _vdot(a: Cplx, b: Cplx) -> Cplx:
@@ -138,11 +134,11 @@ def ps_mmse_sm(
     reference's 53×53 cofactor inverse (utils.c:141-170) reduces to dots.
     MATH mode uses the correct X4ᴴ in Rhy; MATLAB mode reproduces the X4
     slip of ..._PS_MMSE.m:30 (see config.EstimatorMode).
+
+    v = F·ifft(H_LT) is *exactly* H_LT (F is the DFT the ifft inverts,
+    ..._PS_MMSE.m:16-26), so no spectral transform is computed.
     """
-    i_re, i_im = specmats.idft53()
-    f_re, f_im = specmats.dft53()
-    h_t = apply_dft(h_lt, jnp.asarray(i_re, jnp.float32), jnp.asarray(i_im, jnp.float32))
-    v = apply_dft(h_t, jnp.asarray(f_re, jnp.float32), jnp.asarray(f_im, jnp.float32))
+    v = h_lt.astype(jnp.float32)
 
     tx = tx_blocks[..., :avg_blocks, :].astype(jnp.float32)
     rx = rx_blocks[..., :avg_blocks, :].astype(jnp.float32)
@@ -174,12 +170,9 @@ def ps_mmse_dense(
     to ps_mmse_sm in MATH mode (s = uᴴ·Ryy⁻¹·rx with Ryy = σ²I + u·uᴴ)."""
     from tpu80211.kernels.mmse_solve import fused_rank1_solve
 
-    i_re, i_im = specmats.idft53()
-    f_re, f_im = specmats.dft53()
-    h_t = apply_dft(h_lt, jnp.asarray(i_re, jnp.float32), jnp.asarray(i_im, jnp.float32))
-    v = apply_dft(h_t, jnp.asarray(f_re, jnp.float32), jnp.asarray(f_im, jnp.float32))
-    tx = tx_blocks[..., :avg_blocks, :]
-    rx = rx_blocks[..., :avg_blocks, :]
+    v = h_lt.astype(jnp.float32)  # = F·ifft(H_LT), see ps_mmse_sm
+    tx = tx_blocks[..., :avg_blocks, :].astype(jnp.float32)
+    rx = rx_blocks[..., :avg_blocks, :].astype(jnp.float32)
     vb = v[..., None, :]
     u = tx * vb
     ow2_b = jnp.broadcast_to(ow2[..., None], u.shape[:-1])
@@ -236,13 +229,13 @@ def rx_chain(
     tx_lptot: Cplx,    # (…, 160)
     rx_lptot: Cplx,    # (…, 160)
     avg_blocks: int = C.N_AVG_BLOCKS,
-    equalize_with: str = "h_mmse",
+    equalize_with: str = "h_linear",
 ) -> RxOutputs:
     """The full WiFi_RX.m chain, batched: time-domain samples → estimates →
     equalized symbols.  Pure function of its inputs; jit/vmap/shard-ready.
 
-    ``equalize_with`` names the PS estimate blended into the equalizer CFR
-    (WiFi_RX.m:60 passes any of the five; default MMSE)."""
+    ``equalize_with`` names the PS estimate blended into the equalizer CFR;
+    the golden model fixes PS-Linear (WiFi_RX.m:60)."""
     tx_pre = preamble_fft(tx_lptot)
     rx_pre = preamble_fft(rx_lptot)
     ow2 = noise_power(rx_lptot)
@@ -261,10 +254,13 @@ def rx_chain_freq(
     rx_blocks: Cplx,   # (…, 15, 53)
     ow2: jnp.ndarray,  # (…,)
     avg_blocks: int = C.N_AVG_BLOCKS,
-    equalize_with: str = "h_mmse",
+    equalize_with: str = "h_linear",
 ) -> RxOutputs:
     """Frequency-domain entry (the C drivers' view, inputs.h:20-928):
-    skips the front end, runs estimators + equalization."""
+    skips the front end, runs estimators + equalization.  Semantics are
+    MATH-mode (sc implements MATH + MATLAB via ps_mmse_sm's mode arg);
+    ``equalize_with`` defaults to the golden model's PS-Linear
+    (WiFi_RX.m:60)."""
     h_lt = lt_ls(tx_pre, rx_pre)
     h_lin = ps_interp(tx_blocks, rx_blocks, "linear", avg_blocks=avg_blocks)
     h_cub = ps_interp(tx_blocks, rx_blocks, "cubic", avg_blocks=avg_blocks)

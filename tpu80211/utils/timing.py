@@ -28,16 +28,34 @@ from typing import Any, Callable
 import jax
 
 
+def _readback_fence(out) -> None:
+    """Force completion by fetching one element to the host.
+
+    `block_until_ready` is not a completion fence on the tunneled axon
+    runtime (it acknowledges dispatch; see PERF.md) — a device→host read
+    of a value that depends on the output is.
+    """
+    import numpy as np
+
+    leaves = jax.tree.leaves(out)
+    if leaves:
+        np.asarray(jax.numpy.ravel(leaves[0])[0])
+
+
 def timeit(fn: Callable, *args, iters: int = 10, warmup: int = 2, **kw) -> float:
-    """Mean wall-clock seconds per call, fenced with block_until_ready."""
+    """Mean wall-clock seconds per call, fenced with a device→host
+    readback (see _readback_fence).  Note: identical args every iteration
+    can still be absorbed by runtime-level caching on some backends — for
+    chip-grade numbers use bench.py's serialized-dependency methodology.
+    """
     out = None
     for _ in range(max(warmup, 1)):
         out = fn(*args, **kw)
-    jax.block_until_ready(out)
+    _readback_fence(out)
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(*args, **kw)
-    jax.block_until_ready(out)
+    _readback_fence(out)
     return (time.perf_counter() - t0) / iters
 
 
