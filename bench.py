@@ -2,8 +2,9 @@
 """Benchmark: MMSE-estimated + equalized frames/s on the attached device.
 
 Runs the full split-complex RX chain (time-domain packets → block
-extraction → all five estimators → MMSE-blended equalization,
-tpu80211/pipeline/sc.py) and prints ONE JSON line:
+extraction → all five estimators → blended equalization (PS-Linear blend,
+the golden model's choice, WiFi_RX.m:60), tpu80211/pipeline/sc.py) and
+prints ONE JSON line:
 
     {"metric": "...", "value": N, "unit": "frames/s", "vs_baseline": N}
 
@@ -104,7 +105,7 @@ def main():
 
     frames_per_s = batch * iters / dt
     result = {
-        "metric": "full-RX-chain (5 estimators + MMSE-blended equalization) frames/s, single chip, serialized",
+        "metric": "full-RX-chain (5 estimators + blended equalization) frames/s, single chip, serialized",
         "value": round(frames_per_s, 1),
         "unit": "frames/s",
         "vs_baseline": round(frames_per_s / BASELINE_FRAMES_PER_S, 1),

@@ -95,3 +95,29 @@ def test_multihost_mesh_single_process():
     assert mesh.shape["dp"] * mesh.shape["blk"] == len(jax.devices())
     s = multihost.frame_sharding_mh(mesh)
     assert s is not None
+
+
+def test_main_module_entrypoint():
+    """python -m tpu80211 works (tpu80211/__main__.py)."""
+    import subprocess
+    import sys
+
+    r = subprocess.run(
+        [sys.executable, "-m", "tpu80211", "devices"],
+        capture_output=True, text=True, timeout=240,
+        env={**__import__("os").environ, "JAX_PLATFORMS": "cpu"},
+    )
+    assert r.returncode == 0, r.stderr
+    assert "Device" in r.stdout or "TPU" in r.stdout or "Cpu" in r.stdout, r.stdout
+
+
+def test_init_distributed_single_process_noop():
+    """init_distributed after backend init: warns or no-ops, never raises
+    for the implicit single-process case."""
+    import warnings
+
+    from tpu80211.parallel import multihost
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        multihost.init_distributed()  # backend already up from conftest
