@@ -74,9 +74,22 @@ def _step(args, s, inc):
     return jnp.tanh(jnp.sum(flat)) * 1e-9
 
 
+def _step_fused(args, s, inc):
+    """Serialized iteration through the fused whole-chain Pallas kernel
+    (lane-major layout, kernels/fused_chain.py)."""
+    from tpu80211.kernels.fused_chain import fused_rx_chain_lane_major
+
+    eps = s + inc
+    args = jax.tree.map(lambda x: x * (1.0 + eps), args)
+    out = fused_rx_chain_lane_major(*args)
+    flat = jnp.stack(jax.tree.leaves(jax.tree.map(jnp.sum, out)))
+    return jnp.tanh(jnp.sum(flat)) * 1e-9
+
+
 def main():
-    argv = [a for a in sys.argv[1:] if a != "--bf16"]
+    argv = [a for a in sys.argv[1:] if not a.startswith("--")]
     bf16 = "--bf16" in sys.argv[1:]
+    fused = "--fused" in sys.argv[1:]
     batch = int(argv[0]) if len(argv) > 0 else 32768
     iters = int(argv[1]) if len(argv) > 1 else 64
     dtype = jnp.bfloat16 if bf16 else jnp.float32
@@ -85,8 +98,11 @@ def main():
         jax.random.PRNGKey(0), batch, dtype
     )
     jax.block_until_ready(base)
+    if fused:
+        # fused kernel is lane-major (frame axis last) and f32
+        base = jax.tree.map(lambda x: x.astype(jnp.float32).T, base)
 
-    fn = jax.jit(_step)
+    fn = jax.jit(_step_fused if fused else _step)
     incs = [jnp.float32(1e-6 * i) for i in range(2 * iters)]
     s = fn(base, jnp.float32(0.0), incs[0])
     float(s)  # full warmup incl. readback path
@@ -112,6 +128,7 @@ def main():
         "batch": batch,
         "iters": iters,
         "dtype": "bf16" if bf16 else "f32",
+        "path": "fused_pallas" if fused else "xla",
         "wall_s": round(dt, 4),
         "wall_s_single_loop": round(dt1, 4),
         "device": str(jax.devices()[0]),

@@ -1,0 +1,75 @@
+"""Fused whole-chain Pallas kernel vs the XLA-composed sc pipeline."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpu80211 import constants as C
+from tpu80211.cplx import Cplx
+from tpu80211.datasets import synthetic
+from tpu80211.kernels.fused_chain import fused_rx_chain
+from tpu80211.pipeline import sc
+
+
+def _rel(a, b):
+    a = np.asarray(a, np.complex128)
+    b = np.asarray(b, np.complex128)
+    return np.abs(a - b).max() / max(np.abs(b).max(), 1e-30)
+
+
+@pytest.fixture(scope="module")
+def inputs():
+    fb = synthetic.generate(jax.random.PRNGKey(2), batch=6, snr_db=40.0)
+    pkt_tx = np.asarray(synthetic.synthesize_time(fb.tx_symb))
+    pkt_rx = np.asarray(synthetic.synthesize_time(fb.rx_symb))
+    lts = np.asarray(
+        synthetic.synthesize_time(
+            jnp.broadcast_to(fb.tx_preamble_fft[:, None, :], fb.tx_symb.shape)
+        )
+    )[:, C.N_CP : C.N_CP + C.N_FFT]
+    rlts = np.asarray(
+        synthetic.synthesize_time(
+            jnp.broadcast_to(fb.rx_preamble_fft[:, None, :], fb.tx_symb.shape)
+        )
+    )[:, C.N_CP : C.N_CP + C.N_FFT]
+    rng = np.random.default_rng(0)
+    noise = 1e-4 * (rng.standard_normal(rlts.shape) + 1j * rng.standard_normal(rlts.shape))
+    tx_lp = np.concatenate([lts[:, :32], lts, lts], axis=-1)
+    rx_lp = np.concatenate([rlts[:, :32], rlts + noise, rlts], axis=-1)
+
+    def c(x):
+        return Cplx.from_complex(x, jnp.float32)
+
+    return c(pkt_tx), c(pkt_rx), c(tx_lp), c(rx_lp)
+
+
+def test_fused_matches_sc(inputs):
+    got = fused_rx_chain(*inputs)
+    want = sc.rx_chain(*inputs)
+    np.testing.assert_allclose(
+        np.asarray(got["ow2"]), np.asarray(want.ow2), rtol=1e-4
+    )
+    for name, tol in (
+        ("h_lt", 1e-5),
+        ("h_linear", 1e-5),
+        ("h_cubic", 1e-5),
+        ("h_sinc", 1e-5),
+        ("h_spline", 1e-5),
+        ("h_mmse", 1e-3),   # 1/σ² magnitudes, f32 reduction-order noise
+        ("eq", 1e-4),
+    ):
+        g = got[name].to_complex()
+        w = getattr(want, name).to_complex()
+        assert g.shape == w.shape, (name, g.shape, w.shape)
+        assert _rel(g, w) < tol, (name, _rel(g, w))
+
+
+def test_fused_padding_partial_tile(inputs):
+    """B=6 is far from a LANES multiple — outputs must match per-frame."""
+    got = fused_rx_chain(*inputs)
+    # evaluate frame 3 alone through sc and compare
+    one = tuple(x[3:4] for x in inputs)
+    want = sc.rx_chain(*one)
+    assert _rel(got["h_mmse"].to_complex()[3], want.h_mmse.to_complex()[0]) < 1e-3
+    assert _rel(got["eq"].to_complex()[3], want.eq.to_complex()[0]) < 1e-4

@@ -1,0 +1,276 @@
+"""Fused whole-chain Pallas kernel: packets in → estimates + eq out.
+
+The XLA-composed chain (pipeline/sc.py) is HBM-bound: the (B,15,53)
+frequency-domain block tensors are materialized between the extraction
+matmuls and the estimator/equalizer elementwise work (~0.8 GB round-trip
+at B=32768).  This kernel keeps the *entire* RX chain for a tile of
+``LANES`` frames inside VMEM — the only HBM traffic is the time-domain
+inputs (~2.8 MB/tile) and the final outputs (~1.8 MB/tile), i.e. the
+information-theoretic minimum for the computation.
+
+Layout: **lane-major** — the frame/batch axis is the last (128-wide lane)
+dimension, so every scalar step of the per-frame math is a 128-lane VPU op
+and the per-block 64-point DFTs are (53,64)@(64,128) MXU matmuls.  A
+production receiver would write its ADC stream in this layout directly;
+`fused_rx_chain` accepts the standard batch-major layout and transposes at
+the boundary (that transpose costs one extra pass over the inputs — use
+`fused_rx_chain_lane_major` to avoid it).
+
+Numerics match pipeline/sc.py MATH mode with the PS-Linear equalizer
+blend (WiFi_RX.m:60); estimator math runs f32 regardless of storage dtype.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from tpu80211 import constants as C
+from tpu80211.cplx import Cplx
+from tpu80211.ops import specmats
+from tpu80211.ops.interp import interp_matrix
+
+LANES = 128
+_P0, _P1, _P2, _P3 = C.PILOT_IDX
+
+
+def _row_mask(n, row):
+    return jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0) == row
+
+
+def _kernel(
+    # inputs, each (dim, LANES) f32 VMEM refs
+    txp_r, txp_i, rxp_r, rxp_i, txl_r, txl_i, rxl_r, rxl_i,
+    wre_ref, wim_ref,   # (64, 53) block-DFT planes
+    winterp_ref,        # (4, 53, 4) stacked interp matrices (lin/cub/sinc/spl)
+    # outputs
+    hlt_r, hlt_i, hlin_r, hlin_i, hcub_r, hcub_i, hsin_r, hsin_i,
+    hspl_r, hspl_i, hmmse_r, hmmse_i, eq_r, eq_i, ow2_out,
+):
+    f32 = jnp.float32
+    wre = wre_ref[:]  # (64, 53)
+    wim = wim_ref[:]
+
+    def dft(xr, xi):
+        """(64, L) time samples → (53, L) spectrum: y = Wᵀ·x."""
+        yr = jnp.dot(wre.T, xr, preferred_element_type=f32) - jnp.dot(
+            wim.T, xi, preferred_element_type=f32
+        )
+        yi = jnp.dot(wre.T, xi, preferred_element_type=f32) + jnp.dot(
+            wim.T, xr, preferred_element_type=f32
+        )
+        return yr, yi
+
+    # -- preambles: average the two LTS repeats, DFT -------------------------
+    def preamble(lr, li):
+        ar = (lr[32:96, :] + lr[96:160, :]) * 0.5
+        ai = (li[32:96, :] + li[96:160, :]) * 0.5
+        return dft(ar, ai)
+
+    tpre_r, tpre_i = preamble(txl_r[:], txl_i[:])
+    rpre_r, rpre_i = preamble(rxl_r[:], rxl_i[:])
+
+    # noise power σ² = Σ|rep2−rep1|²/(2·64) (WiFi_RX.m:31)
+    dr = rxl_r[32:96, :] - rxl_r[96:160, :]
+    di = rxl_i[32:96, :] - rxl_i[96:160, :]
+    ow2 = jnp.sum(dr * dr + di * di, axis=0, keepdims=True) / (2.0 * C.N_FFT)
+    ow2_out[:] = ow2
+
+    # -- LT-LS ----------------------------------------------------------------
+    dc = _row_mask(C.N_SC, C.DC_IDX)  # (53, 1)
+    denom = tpre_r * tpre_r + tpre_i * tpre_i
+    denom = jnp.where(dc, 1.0, denom)
+    hlt_re = (tpre_r * rpre_r + tpre_i * rpre_i) / denom
+    hlt_im = (tpre_r * rpre_i - tpre_i * rpre_r) / denom
+    hlt_re = jnp.where(dc, 0.0, hlt_re)
+    hlt_im = jnp.where(dc, 0.0, hlt_im)
+    hlt_r[:] = hlt_re
+    hlt_i[:] = hlt_im
+
+    # -- per-block spectra + pilot ratios ------------------------------------
+    txp_r_all = txp_r[:]
+    txp_i_all = txp_i[:]
+    rxp_r_all = rxp_r[:]
+    rxp_i_all = rxp_i[:]
+
+    blocks = []  # (txr, txi, rxr, rxi) per block, each (53, L)
+    for b in range(C.N_BLOCKS):
+        lo = b * C.SAMP_PER_BLOCK + C.N_CP
+        hi = lo + C.N_FFT
+        tb = dft(txp_r_all[lo:hi, :], txp_i_all[lo:hi, :])
+        rb = dft(rxp_r_all[lo:hi, :], rxp_i_all[lo:hi, :])
+        blocks.append((tb[0], tb[1], rb[0], rb[1]))
+
+    def cdiv(ar, ai, br, bi):
+        d = br * br + bi * bi
+        return (ar * br + ai * bi) / d, (ai * br - ar * bi) / d
+
+    # pilot ratios for the first N_AVG_BLOCKS blocks: (4, L) each
+    hp = []
+    for b in range(C.N_AVG_BLOCKS):
+        tbr, tbi, rbr, rbi = blocks[b]
+        pr, pi_ = [], []
+        for p in (_P0, _P1, _P2, _P3):
+            qr, qi = cdiv(rbr[p : p + 1, :], rbi[p : p + 1, :],
+                          tbr[p : p + 1, :], tbi[p : p + 1, :])
+            pr.append(qr)
+            pi_.append(qi)
+        hp.append((jnp.concatenate(pr, axis=0), jnp.concatenate(pi_, axis=0)))
+
+    # -- interpolators: H = Wᵀ(53,4) @ hp(4,L), averaged over blocks ----------
+    def interp(idx, out_r, out_i):
+        w = winterp_ref[idx]  # (53, 4)
+        acc_r = jnp.zeros((C.N_SC, LANES), f32)
+        acc_i = jnp.zeros((C.N_SC, LANES), f32)
+        for b in range(C.N_AVG_BLOCKS):
+            acc_r = acc_r + jnp.dot(w, hp[b][0], preferred_element_type=f32)
+            acc_i = acc_i + jnp.dot(w, hp[b][1], preferred_element_type=f32)
+        out_r[:] = acc_r / C.N_AVG_BLOCKS
+        out_i[:] = acc_i / C.N_AVG_BLOCKS
+        return acc_r / C.N_AVG_BLOCKS, acc_i / C.N_AVG_BLOCKS
+
+    hlin_re, hlin_im = interp(0, hlin_r, hlin_i)
+    interp(1, hcub_r, hcub_i)
+    interp(2, hsin_r, hsin_i)
+    interp(3, hspl_r, hspl_i)
+
+    # -- MMSE (MATH mode, rank-1 closed form; v = H_LT exactly) ---------------
+    acc_r = jnp.zeros((C.N_SC, LANES), f32)
+    acc_i = jnp.zeros((C.N_SC, LANES), f32)
+    for b in range(C.N_AVG_BLOCKS):
+        tbr, tbi, rbr, rbi = blocks[b]
+        ur = tbr * hlt_re - tbi * hlt_im
+        ui = tbr * hlt_im + tbi * hlt_re
+        den = ow2 + jnp.sum(ur * ur + ui * ui, axis=0, keepdims=True)  # (1,L)
+        # uᴴ·rx
+        sr = jnp.sum(ur * rbr + ui * rbi, axis=0, keepdims=True) / den
+        si = jnp.sum(ur * rbi - ui * rbr, axis=0, keepdims=True) / den
+        acc_r = acc_r + (hlt_re * sr - hlt_im * si)
+        acc_i = acc_i + (hlt_re * si + hlt_im * sr)
+    hmmse_r[:] = acc_r / C.N_AVG_BLOCKS
+    hmmse_i[:] = acc_i / C.N_AVG_BLOCKS
+
+    # -- equalize with the PS-Linear blend (WiFi_RX.m:60) ---------------------
+    n = C.N_BLOCKS
+    for b in range(n):
+        _, _, rbr, rbi = blocks[b]
+        w_ps = (b + 1) / n
+        w_lt = (n - (b + 1)) / n
+        hur = w_lt * hlt_re + w_ps * hlin_re
+        hui = w_lt * hlt_im + w_ps * hlin_im
+        hur = jnp.where(dc, 1.0, hur)
+        hui = jnp.where(dc, 0.0, hui)
+        er, ei = cdiv(rbr, rbi, hur, hui)
+        er = jnp.where(dc, 0.0, er)
+        ei = jnp.where(dc, 0.0, ei)
+        eq_r[b, :, :] = er
+        eq_i[b, :, :] = ei
+
+
+def _on_tpu() -> bool:
+    return jax.default_backend() in ("tpu", "axon")
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _fused_call(txp_r, txp_i, rxp_r, rxp_i, txl_r, txl_i, rxl_r, rxl_i,
+                interpret):
+    ntile = txp_r.shape[-1] // LANES
+    wre, wim = specmats.block_dft()
+
+    def vspec(dim):
+        return pl.BlockSpec((dim, LANES), lambda i: (0, i),
+                            memory_space=pltpu.VMEM)
+
+    wspec = pl.BlockSpec((C.N_FFT, C.N_SC), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM)
+    wispec = pl.BlockSpec((4, C.N_SC, 4), lambda i: (0, 0, 0),
+                          memory_space=pltpu.VMEM)
+    winterp = jnp.asarray(
+        np.stack([interp_matrix(k).T for k in ("linear", "cubic", "sinc", "spline")]),
+        jnp.float32,
+    )
+    sc53 = vspec(C.N_SC)
+    out_specs = (
+        [sc53] * 12
+        + [pl.BlockSpec((C.N_BLOCKS, C.N_SC, LANES), lambda i: (0, 0, i),
+                        memory_space=pltpu.VMEM)] * 2
+        + [vspec(1)]
+    )
+    l = txp_r.shape[-1]
+    sh53 = jax.ShapeDtypeStruct((C.N_SC, l), jnp.float32)
+    out_shape = (
+        [sh53] * 12
+        + [jax.ShapeDtypeStruct((C.N_BLOCKS, C.N_SC, l), jnp.float32)] * 2
+        + [jax.ShapeDtypeStruct((1, l), jnp.float32)]
+    )
+    return pl.pallas_call(
+        _kernel,
+        grid=(ntile,),
+        in_specs=[vspec(C.PACKET_SAMPLES)] * 4
+        + [vspec(C.PREAMBLE_SAMPLES)] * 4
+        + [wspec, wspec, wispec],
+        out_specs=out_specs,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(
+        txp_r, txp_i, rxp_r, rxp_i, txl_r, txl_i, rxl_r, rxl_i,
+        jnp.asarray(wre, jnp.float32), jnp.asarray(wim, jnp.float32), winterp,
+    )
+
+
+def fused_rx_chain_lane_major(tx_pkt: Cplx, rx_pkt: Cplx,
+                              tx_lp: Cplx, rx_lp: Cplx):
+    """Lane-major entry: packets (1200, B), preambles (160, B); B must be
+    a multiple of LANES.  Returns a dict of lane-major outputs:
+    h_* (53, B) Cplx, eq (15, 53, B) Cplx, ow2 (B,)."""
+    outs = _fused_call(
+        tx_pkt.re, tx_pkt.im, rx_pkt.re, rx_pkt.im,
+        tx_lp.re, tx_lp.im, rx_lp.re, rx_lp.im,
+        interpret=not _on_tpu(),
+    )
+    (hlt_r, hlt_i, hlin_r, hlin_i, hcub_r, hcub_i, hsin_r, hsin_i,
+     hspl_r, hspl_i, hmm_r, hmm_i, eq_r, eq_i, ow2) = outs
+    return {
+        "h_lt": Cplx(hlt_r, hlt_i),
+        "h_linear": Cplx(hlin_r, hlin_i),
+        "h_cubic": Cplx(hcub_r, hcub_i),
+        "h_sinc": Cplx(hsin_r, hsin_i),
+        "h_spline": Cplx(hspl_r, hspl_i),
+        "h_mmse": Cplx(hmm_r, hmm_i),
+        "eq": Cplx(eq_r, eq_i),
+        "ow2": ow2[0],
+    }
+
+
+def fused_rx_chain(tx_pkt: Cplx, rx_pkt: Cplx, tx_lp: Cplx, rx_lp: Cplx):
+    """Batch-major wrapper: packets (B, 1200), preambles (B, 160).
+
+    Pads B to a LANES multiple and transposes at the boundary (one extra
+    pass over inputs/outputs — prefer the lane-major entry in production).
+    Returns outputs in batch-major layout matching sc.RxOutputs fields.
+    """
+    b = tx_pkt.shape[0]
+    bpad = -(-b // LANES) * LANES
+
+    def prep(x: Cplx) -> Cplx:
+        re = jnp.pad(x.re, ((0, bpad - b), (0, 0))).T
+        im = jnp.pad(x.im, ((0, bpad - b), (0, 0))).T
+        return Cplx(re, im)
+
+    out = fused_rx_chain_lane_major(prep(tx_pkt), prep(rx_pkt),
+                                    prep(tx_lp), prep(rx_lp))
+    res = {}
+    for k, v in out.items():
+        if k == "ow2":
+            res[k] = v[:b]
+        elif k == "eq":
+            res[k] = Cplx(jnp.transpose(v.re, (2, 0, 1))[:b],
+                          jnp.transpose(v.im, (2, 0, 1))[:b])
+        else:
+            res[k] = Cplx(v.re.T[:b], v.im.T[:b])
+    return res

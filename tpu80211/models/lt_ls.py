@@ -23,7 +23,7 @@ _DC[C.DC_IDX] = True
 def lt_ls(
     tx_pre: jnp.ndarray,  # (..., 53) transmitted LTS spectrum
     rx_pre: jnp.ndarray,  # (..., 53) received LTS spectrum
-    mode: EstimatorMode = EstimatorMode.MATLAB,
+    mode: EstimatorMode = EstimatorMode.MATH,
 ) -> jnp.ndarray:
     """(..., 53) channel frequency response; DC bin is exactly zero."""
     if mode == EstimatorMode.C_PARITY:

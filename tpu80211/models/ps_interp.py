@@ -38,7 +38,7 @@ def ps_interp_per_block(
     tx: jnp.ndarray,  # (..., 53)
     rx: jnp.ndarray,  # (..., 53)
     kind: str,
-    mode: EstimatorMode = EstimatorMode.MATLAB,
+    mode: EstimatorMode = EstimatorMode.MATH,
 ) -> jnp.ndarray:
     """Single-block estimate, (..., 53)."""
     w = jnp.asarray(interp_matrix(kind, mode), dtype=tx.dtype)  # (4, 53)
@@ -50,7 +50,7 @@ def ps_interp(
     tx_blocks: jnp.ndarray,  # (..., n_blocks, 53)
     rx_blocks: jnp.ndarray,  # (..., n_blocks, 53)
     kind: str,
-    mode: EstimatorMode = EstimatorMode.MATLAB,
+    mode: EstimatorMode = EstimatorMode.MATH,
     avg_blocks: int = C.N_AVG_BLOCKS,
 ) -> jnp.ndarray:
     """Frame-level estimate: per-block interpolation, averaged over the

@@ -105,7 +105,7 @@ def _spline_matrix() -> np.ndarray:
 
 
 @functools.lru_cache(maxsize=None)
-def interp_matrix(kind: str, mode: EstimatorMode = EstimatorMode.MATLAB) -> np.ndarray:
+def interp_matrix(kind: str, mode: EstimatorMode = EstimatorMode.MATH) -> np.ndarray:
     """Return the (4, 53) float64 interpolation matrix for ``kind``.
 
     kind ∈ {"linear", "cubic", "sinc", "spline"}.
