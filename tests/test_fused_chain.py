@@ -73,3 +73,33 @@ def test_fused_padding_partial_tile(inputs):
     want = sc.rx_chain(*one)
     assert _rel(got["h_mmse"].to_complex()[3], want.h_mmse.to_complex()[0]) < 1e-3
     assert _rel(got["eq"].to_complex()[3], want.eq.to_complex()[0]) < 1e-4
+
+
+def test_fused_under_shard_map(inputs):
+    """The fused kernel composes with a dp-sharded mesh (per-device local
+    tiles) — the multi-chip production topology."""
+    from jax.sharding import PartitionSpec as P
+
+    from tpu80211.kernels.fused_chain import fused_rx_chain
+    from tpu80211.parallel import make_mesh
+
+    mesh = make_mesh(dp=2, blk=1, devices=jax.devices()[:2])
+
+    tx_pkt, rx_pkt, tx_lp, rx_lp = (
+        Cplx(jnp.concatenate([x.re, x.re]), jnp.concatenate([x.im, x.im]))
+        for x in inputs
+    )  # batch 12, 6 per shard
+
+    # check_vma=False: pallas_call out_shapes carry no varying-mesh-axis
+    # info, which the default vma checker requires
+    mapped = jax.shard_map(
+        lambda a, b, c, d: fused_rx_chain(a, b, c, d),
+        mesh=mesh,
+        in_specs=(P("dp"),) * 4,
+        out_specs=P("dp"),
+        check_vma=False,
+    )
+    got = mapped(tx_pkt, rx_pkt, tx_lp, rx_lp)
+    want = sc.rx_chain(tx_pkt, rx_pkt, tx_lp, rx_lp)
+    assert _rel(got["h_mmse"].to_complex(), want.h_mmse.to_complex()) < 1e-3
+    assert _rel(got["eq"].to_complex(), want.eq.to_complex()) < 1e-4
