@@ -1,5 +1,6 @@
 #!/usr/bin/env python
-"""Benchmark: MMSE-estimated + equalized frames/s on the attached device.
+"""Benchmark: estimated + equalized frames/s of the full RX chain on the
+attached device.
 
 Runs the full split-complex RX chain (time-domain packets → block
 extraction → all five estimators → blended equalization (PS-Linear blend,
@@ -68,7 +69,9 @@ def _step(args, s, inc):
     """One serialized iteration: perturb inputs by (s + inc), run the full
     chain, reduce to one scalar that feeds the next iteration."""
     eps = s + inc
-    args = jax.tree.map(lambda x: x * (1.0 + eps), args)
+    # keep the storage dtype: bf16 * f32-scalar promotes to f32, which
+    # would silently turn a --bf16 run into an f32 chain
+    args = jax.tree.map(lambda x: (x * (1.0 + eps)).astype(x.dtype), args)
     out = sc.rx_chain(*args)
     flat = jnp.stack(jax.tree.leaves(jax.tree.map(jnp.sum, out)))
     return jnp.tanh(jnp.sum(flat)) * 1e-9
@@ -127,7 +130,8 @@ def main():
         "vs_baseline": round(frames_per_s / BASELINE_FRAMES_PER_S, 1),
         "batch": batch,
         "iters": iters,
-        "dtype": "bf16" if bf16 else "f32",
+        # the fused kernel casts to f32 internally — report what ran
+        "dtype": "f32" if fused else ("bf16" if bf16 else "f32"),
         "path": "fused_pallas" if fused else "xla",
         "wall_s": round(dt, 4),
         "wall_s_single_loop": round(dt1, 4),

@@ -32,6 +32,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from tpu80211 import constants as C
 from tpu80211.cplx import Cplx
+from tpu80211.kernels import on_tpu
 from tpu80211.ops import specmats
 from tpu80211.ops.interp import interp_matrix
 
@@ -172,10 +173,6 @@ def _kernel(
         eq_i[b, :, :] = ei
 
 
-def _on_tpu() -> bool:
-    return jax.default_backend() in ("tpu", "axon")
-
-
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def _fused_call(txp_r, txp_i, rxp_r, rxp_i, txl_r, txl_i, rxl_r, rxl_i,
                 interpret):
@@ -228,10 +225,16 @@ def fused_rx_chain_lane_major(tx_pkt: Cplx, rx_pkt: Cplx,
     """Lane-major entry: packets (1200, B), preambles (160, B); B must be
     a multiple of LANES.  Returns a dict of lane-major outputs:
     h_* (53, B) Cplx, eq (15, 53, B) Cplx, ow2 (B,)."""
+    b = tx_pkt.shape[-1]
+    assert b % LANES == 0, (
+        f"lane-major batch {b} must be a multiple of {LANES} — the grid "
+        "would silently skip the remainder lanes; use fused_rx_chain for "
+        "arbitrary batch sizes"
+    )
     outs = _fused_call(
         tx_pkt.re, tx_pkt.im, rx_pkt.re, rx_pkt.im,
         tx_lp.re, tx_lp.im, rx_lp.re, rx_lp.im,
-        interpret=not _on_tpu(),
+        interpret=not on_tpu(),
     )
     (hlt_r, hlt_i, hlin_r, hlin_i, hcub_r, hcub_i, hsin_r, hsin_i,
      hspl_r, hspl_i, hmm_r, hmm_i, eq_r, eq_i, ow2) = outs

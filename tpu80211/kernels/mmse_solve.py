@@ -37,13 +37,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 from tpu80211 import constants as C
 from tpu80211.cplx import Cplx
+from tpu80211.kernels import on_tpu
 
 N = C.N_SC_PAD      # 64 — padded system size
 LANES = 128         # matrices solved per grid step (one per VPU lane)
-
-
-def _on_tpu() -> bool:
-    return jax.default_backend() in ("tpu", "axon")
 
 
 
@@ -183,7 +180,7 @@ def fused_rank1_solve(u: Cplx, rx: Cplx, ow2) -> Cplx:
 
     zr, zi = _fused_call(
         prep(u.re), prep(u.im), prep(rx.re), prep(rx.im), ow2_row,
-        interpret=not _on_tpu(),
+        interpret=not on_tpu(),
     )
     out_re = zr.T[:b, :nsc].reshape(*lead, nsc)
     out_im = zi.T[:b, :nsc].reshape(*lead, nsc)
@@ -218,7 +215,7 @@ def solve_batched_pallas(a: jnp.ndarray, rhs: jnp.ndarray) -> jnp.ndarray:
     rr = jnp.transpose(jnp.real(rf), (1, 0)).astype(jnp.float32)
     ri = jnp.transpose(jnp.imag(rf), (1, 0)).astype(jnp.float32)
 
-    zr, zi = _dense_call(ar, ai, rr, ri, interpret=not _on_tpu())
+    zr, zi = _dense_call(ar, ai, rr, ri, interpret=not on_tpu())
     z = (zr.T[:b, :n] + 1j * zi.T[:b, :n]).astype(a.dtype)
     return z.reshape(*lead, n, 1)
 

@@ -96,9 +96,11 @@ def rx_step_shardmap(mesh: Mesh, avg_blocks: int = C.N_AVG_BLOCKS):
     produces the global mean-square CFR metric (the MPI_Reduce at the end
     of every reference run).
 
-    Returns compiled callable:
-      (tx_pre, rx_pre, tx_blocks, rx_blocks, ow2) sharded
-        → (RxOutputs with per-frame fields, global_mse scalar)
+    Returns ``(step, nb_pad)``: ``step`` is the compiled callable
+    (tx_pre, rx_pre, tx_blocks, rx_blocks, ow2) sharded →
+    (RxOutputs with per-frame fields, global_mse scalar), and ``nb_pad``
+    is the padded block count its block-axis inputs must have (pad with
+    pad_blocks()).
     """
     blk_size = mesh.shape[BLK]
     nb_pad = -(-C.N_BLOCKS // blk_size) * blk_size  # ceil to multiple
@@ -142,11 +144,10 @@ def rx_step_shardmap(mesh: Mesh, avg_blocks: int = C.N_AVG_BLOCKS):
         # MMSE: per-local-block Sherman-Morrison, then the same psum-average
         h_mmse = psum_avg(_mmse_per_block(tx_blocks, rx_blocks, ow2, h_lt))
 
-        # equalize local blocks with their *global* 1-based block index in
-        # the LT↔PS blend (WiFi_Equalization.m:4 uses the global index);
-        # PS-Linear blend matches the golden model and sc.rx_chain_freq's
-        # default (WiFi_RX.m:60)
-        eq = _equalize_global(rx_blocks, h_lt, h_lin, local_ids)
+        # equalize local blocks with their *global* block index in the
+        # LT↔PS blend (WiFi_Equalization.m:4); PS-Linear blend matches the
+        # golden model and sc.rx_chain_freq's default (WiFi_RX.m:60)
+        eq = sc.equalize(rx_blocks, h_lt, h_lin, block_ids=local_ids)
 
         # global scalar metric: mean |H_mmse|² over all frames.  h_mmse is
         # already invariant over blk (psum_avg reduced that axis), so only
@@ -196,32 +197,6 @@ def _mmse_per_block(tx_blocks: Cplx, rx_blocks: Cplx, ow2, h_lt: Cplx) -> Cplx:
     urx = (u.conj() * rx_blocks).sum(axis=-1)
     s = Cplx(urx.re / denom, urx.im / denom)
     return vb * Cplx(s.re[..., None], s.im[..., None])
-
-
-def _equalize_global(
-    rx_blocks: Cplx, h_lt: Cplx, h_ps: Cplx, local_ids: jnp.ndarray
-) -> Cplx:
-    """sc.equalize with explicit global block ids for the blend weights
-    (needed when the block axis is sharded and local index ≠ global index).
-    Out-of-range (pad) blocks get the final all-PS blend; their output is
-    discarded by the caller."""
-    import numpy as _np
-
-    n = C.N_BLOCKS
-    i = jnp.minimum(local_ids + 1, n).astype(jnp.float32)[:, None]  # 1-based
-    h_util = Cplx(
-        ((n - i) / n) * h_lt.re[..., None, :] + (i / n) * h_ps.re[..., None, :],
-        ((n - i) / n) * h_lt.im[..., None, :] + (i / n) * h_ps.im[..., None, :],
-    )
-    dc = _np.zeros((C.N_SC,), dtype=bool)
-    dc[C.DC_IDX] = True
-    safe = Cplx(
-        jnp.where(dc, jnp.ones((), h_util.re.dtype), h_util.re),
-        jnp.where(dc, jnp.zeros((), h_util.im.dtype), h_util.im),
-    )
-    eq = rx_blocks / safe
-    zero = jnp.zeros((), eq.re.dtype)
-    return Cplx(jnp.where(dc, zero, eq.re), jnp.where(dc, zero, eq.im))
 
 
 def pad_blocks(x: np.ndarray, blk: int) -> np.ndarray:

@@ -58,7 +58,10 @@ def init_distributed(
         )
     try:
         jax.distributed.initialize(**kwargs)
-    except RuntimeError as e:
+    except (RuntimeError, ValueError) as e:
+        # RuntimeError: backend already initialized / double init;
+        # ValueError: cluster auto-detection found no coordinator (plain
+        # single host) — 'coordinator_address should be defined.'
         already = "already initialized" in str(e).lower()
         if coordinator_address is not None and not already:
             raise  # explicit multi-host intent: do not degrade silently

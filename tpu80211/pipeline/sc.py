@@ -182,15 +182,27 @@ def ps_mmse_dense(
     return h.mean(axis=-2)
 
 
-def equalize(rx_blocks: Cplx, h_lt: Cplx, h_ps: Cplx) -> Cplx:
+def equalize(
+    rx_blocks: Cplx, h_lt: Cplx, h_ps: Cplx, block_ids: jnp.ndarray = None
+) -> Cplx:
     """Blended-CFR equalization (WiFi_Equalization.m:3-8); DC column zero.
-    Output keeps rx_blocks' storage dtype (bf16 in, bf16 out)."""
+    Output keeps rx_blocks' storage dtype (bf16 in, bf16 out).
+
+    ``block_ids`` (0-based global block indices, one per local block) is
+    for block-sharded callers where local index ≠ global index
+    (parallel/mesh.py); the blend weight uses the global 1-based index
+    over the full 15-block frame.  Out-of-range (pad) ids clamp to the
+    final all-PS blend; their output is discarded by the caller."""
     out_dtype = rx_blocks.dtype
     rx_blocks = rx_blocks.astype(jnp.float32)
     h_lt = h_lt.astype(jnp.float32)
     h_ps = h_ps.astype(jnp.float32)
-    n = rx_blocks.shape[-2]
-    i = jnp.arange(1, n + 1, dtype=jnp.float32)[:, None]
+    if block_ids is None:
+        n = rx_blocks.shape[-2]
+        i = jnp.arange(1, n + 1, dtype=jnp.float32)[:, None]
+    else:
+        n = C.N_BLOCKS
+        i = jnp.minimum(block_ids + 1, n).astype(jnp.float32)[:, None]
     w_lt = (n - i) / n
     w_ps = i / n
     h_util = Cplx(
