@@ -102,8 +102,9 @@ def main():
     )
     jax.block_until_ready(base)
     if fused:
-        # fused kernel is lane-major (frame axis last) and f32
-        base = jax.tree.map(lambda x: x.astype(jnp.float32).T, base)
+        # fused kernel is lane-major (frame axis last); it accepts bf16
+        # storage (upcasts to f32 in VMEM)
+        base = jax.tree.map(lambda x: x.T, base)
 
     fn = jax.jit(_step_fused if fused else _step)
     incs = [jnp.float32(1e-6 * i) for i in range(2 * iters)]
@@ -130,8 +131,7 @@ def main():
         "vs_baseline": round(frames_per_s / BASELINE_FRAMES_PER_S, 1),
         "batch": batch,
         "iters": iters,
-        # the fused kernel casts to f32 internally — report what ran
-        "dtype": "f32" if fused else ("bf16" if bf16 else "f32"),
+        "dtype": "bf16" if bf16 else "f32",
         "path": "fused_pallas" if fused else "xla",
         "wall_s": round(dt, 4),
         "wall_s_single_loop": round(dt1, 4),

@@ -103,3 +103,15 @@ def test_fused_under_shard_map(inputs):
     want = sc.rx_chain(tx_pkt, rx_pkt, tx_lp, rx_lp)
     assert _rel(got["h_mmse"].to_complex(), want.h_mmse.to_complex()) < 1e-3
     assert _rel(got["eq"].to_complex(), want.eq.to_complex()) < 1e-4
+
+
+def test_fused_bf16_inputs(inputs):
+    """bf16-stored inputs: estimates track f32 within bf16 precision and
+    eq keeps the bf16 storage dtype."""
+    b16 = tuple(x.astype(jnp.bfloat16) for x in inputs)
+    got = fused_rx_chain(*b16)
+    want = fused_rx_chain(*inputs)
+    assert got["eq"].dtype == jnp.bfloat16
+    for name, tol in (("h_lt", 3e-2), ("h_linear", 3e-2), ("h_mmse", 8e-2)):
+        rel = _rel(got[name].to_complex(), want[name].to_complex())
+        assert rel < tol, (name, rel)

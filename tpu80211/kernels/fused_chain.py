@@ -73,12 +73,15 @@ def _kernel(
         ai = (li[32:96, :] + li[96:160, :]) * 0.5
         return dft(ar, ai)
 
-    tpre_r, tpre_i = preamble(txl_r[:], txl_i[:])
-    rpre_r, rpre_i = preamble(rxl_r[:], rxl_i[:])
+    # loads upcast to f32 — inputs may be stored bf16 (halves HBM read)
+    tpre_r, tpre_i = preamble(txl_r[:].astype(f32), txl_i[:].astype(f32))
+    rxl_r_all = rxl_r[:].astype(f32)
+    rxl_i_all = rxl_i[:].astype(f32)
+    rpre_r, rpre_i = preamble(rxl_r_all, rxl_i_all)
 
     # noise power σ² = Σ|rep2−rep1|²/(2·64) (WiFi_RX.m:31)
-    dr = rxl_r[32:96, :] - rxl_r[96:160, :]
-    di = rxl_i[32:96, :] - rxl_i[96:160, :]
+    dr = rxl_r_all[32:96, :] - rxl_r_all[96:160, :]
+    di = rxl_i_all[32:96, :] - rxl_i_all[96:160, :]
     ow2 = jnp.sum(dr * dr + di * di, axis=0, keepdims=True) / (2.0 * C.N_FFT)
     ow2_out[:] = ow2
 
@@ -94,10 +97,10 @@ def _kernel(
     hlt_i[:] = hlt_im
 
     # -- per-block spectra + pilot ratios ------------------------------------
-    txp_r_all = txp_r[:]
-    txp_i_all = txp_i[:]
-    rxp_r_all = rxp_r[:]
-    rxp_i_all = rxp_i[:]
+    txp_r_all = txp_r[:].astype(f32)
+    txp_i_all = txp_i[:].astype(f32)
+    rxp_r_all = rxp_r[:].astype(f32)
+    rxp_i_all = rxp_i[:].astype(f32)
 
     blocks = []  # (txr, txi, rxr, rxi) per block, each (53, L)
     for b in range(C.N_BLOCKS):
@@ -169,8 +172,8 @@ def _kernel(
         er, ei = cdiv(rbr, rbi, hur, hui)
         er = jnp.where(dc, 0.0, er)
         ei = jnp.where(dc, 0.0, ei)
-        eq_r[b, :, :] = er
-        eq_i[b, :, :] = ei
+        eq_r[b, :, :] = er.astype(eq_r.dtype)
+        eq_i[b, :, :] = ei.astype(eq_i.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -199,10 +202,11 @@ def _fused_call(txp_r, txp_i, rxp_r, rxp_i, txl_r, txl_i, rxl_r, rxl_i,
         + [vspec(1)]
     )
     l = txp_r.shape[-1]
+    eq_dtype = txp_r.dtype  # eq keeps the storage dtype (bf16 in, bf16 out)
     sh53 = jax.ShapeDtypeStruct((C.N_SC, l), jnp.float32)
     out_shape = (
         [sh53] * 12
-        + [jax.ShapeDtypeStruct((C.N_BLOCKS, C.N_SC, l), jnp.float32)] * 2
+        + [jax.ShapeDtypeStruct((C.N_BLOCKS, C.N_SC, l), eq_dtype)] * 2
         + [jax.ShapeDtypeStruct((1, l), jnp.float32)]
     )
     return pl.pallas_call(
