@@ -36,6 +36,12 @@ import sys
 import time
 
 import jax
+
+# persistent compile cache: the fused-kernel compile through the tunnel
+# costs minutes; cache it across bench invocations
+jax.config.update("jax_compilation_cache_dir", "/tmp/tpu80211-jax-cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 import jax.numpy as jnp
 
 from tpu80211 import constants as C
@@ -91,10 +97,23 @@ def _step_fused(args, s, inc):
 
 def main():
     argv = [a for a in sys.argv[1:] if not a.startswith("--")]
-    bf16 = "--bf16" in sys.argv[1:]
-    fused = "--fused" in sys.argv[1:]
+    # default = the production configuration: fused whole-chain Pallas
+    # kernel with bf16 storage / f32 compute (PERF.md; quality gates in
+    # tests/test_fused_chain.py).  --xla / --f32 select the other paths;
+    # TPU80211_BENCH_PATH=xla forces the fast-compiling XLA path (the
+    # fused kernel's tunnel compile costs ~8 min and is not cacheable).
+    import os as _os
+
+    if _os.environ.get("TPU80211_BENCH_PATH") == "xla":
+        sys.argv.append("--xla")
+    bf16 = "--f32" not in sys.argv[1:]
+    if "--bf16" in sys.argv[1:]:
+        bf16 = True
+    fused = "--xla" not in sys.argv[1:]
+    if "--fused" in sys.argv[1:]:
+        fused = True
     batch = int(argv[0]) if len(argv) > 0 else 32768
-    iters = int(argv[1]) if len(argv) > 1 else 64
+    iters = int(argv[1]) if len(argv) > 1 else 48
     dtype = jnp.bfloat16 if bf16 else jnp.float32
 
     base = jax.jit(_gen, static_argnames=("batch", "dtype"))(
@@ -125,7 +144,10 @@ def main():
 
     frames_per_s = batch * iters / dt
     result = {
-        "metric": "full-RX-chain (5 estimators + blended equalization) frames/s, single chip, serialized",
+        "metric": "full-RX-chain (5 estimators + blended equalization) "
+                  "frames/s, single chip, serialized "
+                  f"[{'fused-pallas' if fused else 'xla'}, "
+                  f"{'bf16-storage/f32-compute' if bf16 else 'f32'}]",
         "value": round(frames_per_s, 1),
         "unit": "frames/s",
         "vs_baseline": round(frames_per_s / BASELINE_FRAMES_PER_S, 1),
