@@ -126,3 +126,27 @@ def test_batched_consistency(capture):
     for i in range(3):
         single = np.asarray(ps_interp(jnp.asarray(txb[i]), jnp.asarray(rxb[i]), "sinc"))
         np.testing.assert_allclose(batched[i], single, rtol=1e-12)
+
+
+def test_mmse_sigma_infinity_shrinks_to_zero(capture):
+    """Property: as σ²→∞ the MMSE estimate shrinks toward 0 (the prior
+    dominates) — s = uᴴrx/(σ²+‖u‖²) → 0."""
+    h_lt = lt_ls(
+        jnp.asarray(capture.tx_preamble_fft), jnp.asarray(capture.rx_preamble_fft)
+    )
+    h_small = ps_mmse(
+        jnp.asarray(capture.tx_symb), jnp.asarray(capture.rx_symb), 1e12, h_lt
+    )
+    assert np.abs(np.asarray(h_small)).max() < 1e-9
+
+
+def test_mmse_sigma_zero_projects_onto_h_lt(capture):
+    """Property: as σ²→0, H = v·(uᴴrx/‖u‖²) — the projection coefficient
+    of rx onto u; with rx = tx⊙H_true + 0 noise and H_LT exact, s → 1."""
+    tx = jnp.asarray(capture.tx_symb)
+    h_lt = lt_ls(
+        jnp.asarray(capture.tx_preamble_fft), jnp.asarray(capture.rx_preamble_fft)
+    )
+    rx_clean = tx * h_lt[None, :]  # channel exactly h_lt, no noise
+    h = ps_mmse(tx, rx_clean, 0.0, h_lt)
+    assert _rel_err(h, np.asarray(h_lt)) < 1e-10

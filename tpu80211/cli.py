@@ -38,7 +38,12 @@ def _build_parser() -> argparse.ArgumentParser:
 
     bench = sub.add_parser("bench", help="full-chain frames/s benchmark")
     bench.add_argument("--batch", type=int, default=32768)
-    bench.add_argument("--iters", type=int, default=10)
+    bench.add_argument("--iters", type=int, default=48)
+    bench.add_argument("--xla", action="store_true",
+                       help="XLA-composed chain (fast compile) instead of "
+                            "the fused Pallas kernel")
+    bench.add_argument("--f32", action="store_true",
+                       help="f32 storage instead of bf16")
 
     par = sub.add_parser("parity", help="JAX vs native C++ oracle check")
     par.add_argument("--mode", default="math",
@@ -125,6 +130,10 @@ def _cmd_bench(args) -> int:
     bench_mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(bench_mod)
     sys.argv = ["bench.py", str(args.batch), str(args.iters)]
+    if args.xla:
+        sys.argv.append("--xla")
+    if args.f32:
+        sys.argv.append("--f32")
     bench_mod.main()
     return 0
 
