@@ -85,14 +85,17 @@ def _step(args, s, inc):
 
 def _step_fused(args, s, inc):
     """Serialized iteration through the fused whole-chain Pallas kernel
-    (lane-major layout, kernels/fused_chain.py)."""
+    (lane-major layout, kernels/fused_chain.py).
+
+    The perturbation is fused INTO the kernel (inputs scaled by (1+eps)
+    on load) and the fence reads the kernel's per-frame checksum output —
+    a Pallas call is a fusion barrier, so doing either outside the kernel
+    costs whole extra HBM passes of pure measurement overhead.  Every
+    step remains data-dependent on the previous one (eps = f(prev out))."""
     from tpu80211.kernels.fused_chain import fused_rx_chain_lane_major
 
-    eps = s + inc
-    args = jax.tree.map(lambda x: x * (1.0 + eps), args)
-    out = fused_rx_chain_lane_major(*args)
-    flat = jnp.stack(jax.tree.leaves(jax.tree.map(jnp.sum, out)))
-    return jnp.tanh(jnp.sum(flat)) * 1e-9
+    out = fused_rx_chain_lane_major(*args, eps=s + inc)
+    return jnp.tanh(jnp.sum(out["checksum"])) * 1e-9
 
 
 def main():

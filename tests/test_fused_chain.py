@@ -105,6 +105,42 @@ def test_fused_under_shard_map(inputs):
     assert _rel(got["eq"].to_complex(), want.eq.to_complex()) < 1e-4
 
 
+def test_fused_eps_and_checksum(inputs):
+    """The in-kernel perturbation equals scaling the inputs externally,
+    and the per-frame checksum equals the sum over every output."""
+    from tpu80211.kernels.fused_chain import LANES, fused_rx_chain_lane_major
+
+    def pad_t(x):
+        b = x.shape[0]
+        bpad = -(-b // LANES) * LANES
+        return Cplx(jnp.pad(x.re, ((0, bpad - b), (0, 0))).T,
+                    jnp.pad(x.im, ((0, bpad - b), (0, 0))).T)
+
+    lane = tuple(pad_t(x) for x in inputs)
+    eps = 0.01
+    got = fused_rx_chain_lane_major(*lane, eps=eps)
+    scaled = tuple(Cplx(x.re * (1 + eps), x.im * (1 + eps)) for x in lane)
+    want = fused_rx_chain_lane_major(*scaled)
+
+    b = inputs[0].shape[0]
+    for k in ("h_lt", "h_mmse", "eq", "ow2", "checksum"):
+        g, w = got[k], want[k]
+        if hasattr(g, "to_complex"):
+            g, w = g.to_complex()[..., :b], w.to_complex()[..., :b]
+        else:
+            g, w = np.asarray(g)[:b], np.asarray(w)[:b]
+        assert _rel(g, w) < 1e-5, (k, _rel(g, w))
+
+    # checksum = Σ over all outputs, per frame (padded lanes excluded)
+    acc = np.asarray(got["ow2"], np.float64)[:b]
+    for k in ("h_lt", "h_linear", "h_cubic", "h_sinc", "h_spline", "h_mmse", "eq"):
+        v = got[k]
+        acc = acc + np.asarray(v.re, np.float64).reshape(-1, v.shape[-1]).sum(0)[:b]
+        acc = acc + np.asarray(v.im, np.float64).reshape(-1, v.shape[-1]).sum(0)[:b]
+    chk = np.asarray(got["checksum"], np.float64)[:b]
+    np.testing.assert_allclose(chk, acc, rtol=1e-4, atol=1e-6)
+
+
 def test_fused_bf16_inputs(inputs):
     """bf16-stored inputs: estimates track f32 within bf16 precision and
     eq keeps the bf16 storage dtype."""

@@ -49,11 +49,16 @@ def _kernel(
     txp_r, txp_i, rxp_r, rxp_i, txl_r, txl_i, rxl_r, rxl_i,
     wre_ref, wim_ref,   # (64, 53) block-DFT planes
     winterp_ref,        # (4, 53, 4) stacked interp matrices (lin/cub/sinc/spl)
+    eps_ref,            # (1, 1) SMEM scalar: inputs scaled by (1+eps) on load
     # outputs
     hlt_r, hlt_i, hlin_r, hlin_i, hcub_r, hcub_i, hsin_r, hsin_i,
-    hspl_r, hspl_i, hmmse_r, hmmse_i, eq_r, eq_i, ow2_out,
+    hspl_r, hspl_i, hmmse_r, hmmse_i, eq_r, eq_i, ow2_out, chk_out,
 ):
     f32 = jnp.float32
+    # Input perturbation fused into the load (bench serialization hook —
+    # a Pallas call is a fusion barrier, so scaling OUTSIDE the kernel
+    # costs a whole extra HBM pass over the inputs).  eps=0 ⇒ exact ×1.0.
+    scale = 1.0 + eps_ref[0, 0]
     wre = wre_ref[:]  # (64, 53)
     wim = wim_ref[:]
 
@@ -74,9 +79,10 @@ def _kernel(
         return dft(ar, ai)
 
     # loads upcast to f32 — inputs may be stored bf16 (halves HBM read)
-    tpre_r, tpre_i = preamble(txl_r[:].astype(f32), txl_i[:].astype(f32))
-    rxl_r_all = rxl_r[:].astype(f32)
-    rxl_i_all = rxl_i[:].astype(f32)
+    tpre_r, tpre_i = preamble(txl_r[:].astype(f32) * scale,
+                              txl_i[:].astype(f32) * scale)
+    rxl_r_all = rxl_r[:].astype(f32) * scale
+    rxl_i_all = rxl_i[:].astype(f32) * scale
     rpre_r, rpre_i = preamble(rxl_r_all, rxl_i_all)
 
     # noise power σ² = Σ|rep2−rep1|²/(2·64) (WiFi_RX.m:31)
@@ -96,11 +102,15 @@ def _kernel(
     hlt_r[:] = hlt_re
     hlt_i[:] = hlt_im
 
+    # per-lane checksum over every output (bench fence: reading (1,B)
+    # instead of re-reading all outputs from HBM to reduce them)
+    chk = ow2 + jnp.sum(hlt_re + hlt_im, axis=0, keepdims=True)
+
     # -- per-block spectra + pilot ratios ------------------------------------
-    txp_r_all = txp_r[:].astype(f32)
-    txp_i_all = txp_i[:].astype(f32)
-    rxp_r_all = rxp_r[:].astype(f32)
-    rxp_i_all = rxp_i[:].astype(f32)
+    txp_r_all = txp_r[:].astype(f32) * scale
+    txp_i_all = txp_i[:].astype(f32) * scale
+    rxp_r_all = rxp_r[:].astype(f32) * scale
+    rxp_i_all = rxp_i[:].astype(f32) * scale
 
     blocks = []  # (txr, txi, rxr, rxi) per block, each (53, L)
     for b in range(C.N_BLOCKS):
@@ -139,9 +149,11 @@ def _kernel(
         return acc_r / C.N_AVG_BLOCKS, acc_i / C.N_AVG_BLOCKS
 
     hlin_re, hlin_im = interp(0, hlin_r, hlin_i)
-    interp(1, hcub_r, hcub_i)
-    interp(2, hsin_r, hsin_i)
-    interp(3, hspl_r, hspl_i)
+    hcub = interp(1, hcub_r, hcub_i)
+    hsin = interp(2, hsin_r, hsin_i)
+    hspl = interp(3, hspl_r, hspl_i)
+    for hr, hi in ((hlin_re, hlin_im), hcub, hsin, hspl):
+        chk = chk + jnp.sum(hr + hi, axis=0, keepdims=True)
 
     # -- MMSE (MATH mode, rank-1 closed form; v = H_LT exactly) ---------------
     acc_r = jnp.zeros((C.N_SC, LANES), f32)
@@ -158,6 +170,7 @@ def _kernel(
         acc_i = acc_i + (hlt_re * si + hlt_im * sr)
     hmmse_r[:] = acc_r / C.N_AVG_BLOCKS
     hmmse_i[:] = acc_i / C.N_AVG_BLOCKS
+    chk = chk + jnp.sum(acc_r + acc_i, axis=0, keepdims=True) / C.N_AVG_BLOCKS
 
     # -- equalize with the PS-Linear blend (WiFi_RX.m:60) ---------------------
     n = C.N_BLOCKS
@@ -174,11 +187,13 @@ def _kernel(
         ei = jnp.where(dc, 0.0, ei)
         eq_r[b, :, :] = er.astype(eq_r.dtype)
         eq_i[b, :, :] = ei.astype(eq_i.dtype)
+        chk = chk + jnp.sum(er + ei, axis=0, keepdims=True)
+    chk_out[:] = chk
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def _fused_call(txp_r, txp_i, rxp_r, rxp_i, txl_r, txl_i, rxl_r, rxl_i,
-                interpret):
+                eps, interpret):
     ntile = txp_r.shape[-1] // LANES
     wre, wim = specmats.block_dft()
 
@@ -190,6 +205,8 @@ def _fused_call(txp_r, txp_i, rxp_r, rxp_i, txl_r, txl_i, rxl_r, rxl_i,
                          memory_space=pltpu.VMEM)
     wispec = pl.BlockSpec((4, C.N_SC, 4), lambda i: (0, 0, 0),
                           memory_space=pltpu.VMEM)
+    epspec = pl.BlockSpec((1, 1), lambda i: (0, 0),
+                          memory_space=pltpu.SMEM)
     winterp = jnp.asarray(
         np.stack([interp_matrix(k).T for k in ("linear", "cubic", "sinc", "spline")]),
         jnp.float32,
@@ -199,7 +216,7 @@ def _fused_call(txp_r, txp_i, rxp_r, rxp_i, txl_r, txl_i, rxl_r, rxl_i,
         [sc53] * 12
         + [pl.BlockSpec((C.N_BLOCKS, C.N_SC, LANES), lambda i: (0, 0, i),
                         memory_space=pltpu.VMEM)] * 2
-        + [vspec(1)]
+        + [vspec(1), vspec(1)]
     )
     l = txp_r.shape[-1]
     eq_dtype = txp_r.dtype  # eq keeps the storage dtype (bf16 in, bf16 out)
@@ -207,28 +224,35 @@ def _fused_call(txp_r, txp_i, rxp_r, rxp_i, txl_r, txl_i, rxl_r, rxl_i,
     out_shape = (
         [sh53] * 12
         + [jax.ShapeDtypeStruct((C.N_BLOCKS, C.N_SC, l), eq_dtype)] * 2
-        + [jax.ShapeDtypeStruct((1, l), jnp.float32)]
+        + [jax.ShapeDtypeStruct((1, l), jnp.float32)] * 2
     )
     return pl.pallas_call(
         _kernel,
         grid=(ntile,),
         in_specs=[vspec(C.PACKET_SAMPLES)] * 4
         + [vspec(C.PREAMBLE_SAMPLES)] * 4
-        + [wspec, wspec, wispec],
+        + [wspec, wspec, wispec, epspec],
         out_specs=out_specs,
         out_shape=out_shape,
         interpret=interpret,
     )(
         txp_r, txp_i, rxp_r, rxp_i, txl_r, txl_i, rxl_r, rxl_i,
         jnp.asarray(wre, jnp.float32), jnp.asarray(wim, jnp.float32), winterp,
+        jnp.reshape(jnp.asarray(eps, jnp.float32), (1, 1)),
     )
 
 
 def fused_rx_chain_lane_major(tx_pkt: Cplx, rx_pkt: Cplx,
-                              tx_lp: Cplx, rx_lp: Cplx):
+                              tx_lp: Cplx, rx_lp: Cplx, eps=0.0):
     """Lane-major entry: packets (1200, B), preambles (160, B); B must be
     a multiple of LANES.  Returns a dict of lane-major outputs:
-    h_* (53, B) Cplx, eq (15, 53, B) Cplx, ow2 (B,)."""
+    h_* (53, B) Cplx, eq (15, 53, B) Cplx, ow2 (B,), checksum (B,).
+
+    ``eps``: inputs are scaled by (1+eps) inside the kernel on load —
+    the bench's serialization perturbation, fused so it costs no extra
+    HBM pass.  eps=0.0 multiplies by exactly 1.0 (bit-exact no-op).
+    ``checksum`` is a per-frame sum over every produced output, so a
+    (B,)-sized readback fences the entire computation."""
     b = tx_pkt.shape[-1]
     assert b % LANES == 0, (
         f"lane-major batch {b} must be a multiple of {LANES} — the grid "
@@ -237,11 +261,11 @@ def fused_rx_chain_lane_major(tx_pkt: Cplx, rx_pkt: Cplx,
     )
     outs = _fused_call(
         tx_pkt.re, tx_pkt.im, rx_pkt.re, rx_pkt.im,
-        tx_lp.re, tx_lp.im, rx_lp.re, rx_lp.im,
+        tx_lp.re, tx_lp.im, rx_lp.re, rx_lp.im, eps,
         interpret=not on_tpu(),
     )
     (hlt_r, hlt_i, hlin_r, hlin_i, hcub_r, hcub_i, hsin_r, hsin_i,
-     hspl_r, hspl_i, hmm_r, hmm_i, eq_r, eq_i, ow2) = outs
+     hspl_r, hspl_i, hmm_r, hmm_i, eq_r, eq_i, ow2, chk) = outs
     return {
         "h_lt": Cplx(hlt_r, hlt_i),
         "h_linear": Cplx(hlin_r, hlin_i),
@@ -251,6 +275,7 @@ def fused_rx_chain_lane_major(tx_pkt: Cplx, rx_pkt: Cplx,
         "h_mmse": Cplx(hmm_r, hmm_i),
         "eq": Cplx(eq_r, eq_i),
         "ow2": ow2[0],
+        "checksum": chk[0],
     }
 
 
@@ -273,7 +298,7 @@ def fused_rx_chain(tx_pkt: Cplx, rx_pkt: Cplx, tx_lp: Cplx, rx_lp: Cplx):
                                     prep(tx_lp), prep(rx_lp))
     res = {}
     for k, v in out.items():
-        if k == "ow2":
+        if k in ("ow2", "checksum"):
             res[k] = v[:b]
         elif k == "eq":
             res[k] = Cplx(jnp.transpose(v.re, (2, 0, 1))[:b],
