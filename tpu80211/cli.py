@@ -70,6 +70,15 @@ def _build_parser() -> argparse.ArgumentParser:
     pl.add_argument("--mode", default="math",
                     choices=["math", "matlab", "c_parity"])
 
+    sy = sub.add_parser("sync", help="CFO/CPE synchronization demo: impair "
+                        "synthetic frames with a carrier frequency offset, "
+                        "estimate + correct it (ops/cfo.py)")
+    sy.add_argument("--batch", type=int, default=64)
+    sy.add_argument("--fo-hz", type=float, default=20e3,
+                    help="carrier frequency offset (the capture's generation "
+                         "value, WiFi_RX.m:9)")
+    sy.add_argument("--snr-db", type=float, default=40.0)
+
     sub.add_parser("devices", help="show backend devices")
     return p
 
@@ -230,6 +239,50 @@ def _cmd_plot(args) -> int:
     return 0
 
 
+def _cmd_sync(args) -> int:
+    import jax
+    import jax.numpy as jnp
+
+    from tpu80211 import constants as C
+    from tpu80211.cplx import Cplx
+    from tpu80211.datasets import synthetic
+    from tpu80211.ops import cfo
+    from tpu80211.pipeline import sc
+
+    eps_true = args.fo_hz / 20e6
+    fb = synthetic.generate(jax.random.PRNGKey(11), args.batch,
+                            snr_db=args.snr_db)
+
+    def c(x):
+        return Cplx.from_complex(np.asarray(x), jnp.float32)
+
+    tx_pkt = c(synthetic.synthesize_time(fb.tx_symb))
+    rx_pkt = c(synthetic.apply_time_cfo(
+        synthetic.synthesize_time(fb.rx_symb), eps_true,
+        start=C.PREAMBLE_SAMPLES))
+    tx_lp = c(synthetic.synthesize_preamble_time(fb.tx_preamble_fft))
+    rx_lp = c(synthetic.apply_time_cfo(
+        synthetic.synthesize_preamble_time(fb.rx_preamble_fft), eps_true))
+
+    eps_hat = float(np.mean(np.asarray(cfo.estimate_cfo(rx_lp))))
+    tx = np.asarray(fb.tx_symb)
+    mask = np.asarray(C.DATA_MASK)
+
+    def med_err(sync):
+        out = sc.rx_chain(tx_pkt, rx_pkt, tx_lp, rx_lp,
+                          equalize_with="h_mmse", sync=sync)
+        return float(np.median(
+            np.abs(out.eq.to_complex() - tx)[..., mask]))
+
+    print(json.dumps({
+        "fo_hz_true": args.fo_hz,
+        "fo_hz_estimated": eps_hat * 20e6,
+        "median_symbol_err_uncorrected": round(med_err(False), 5),
+        "median_symbol_err_sync": round(med_err(True), 5),
+    }))
+    return 0
+
+
 def _cmd_devices(_args) -> int:
     import jax
 
@@ -240,7 +293,7 @@ def _cmd_devices(_args) -> int:
 
 def main(argv=None) -> int:
     args = _build_parser().parse_args(argv)
-    if args.cmd in ("run", "parity", "plot"):
+    if args.cmd in ("run", "parity", "plot", "sync"):
         # complex-dtype reference paths: the axon TPU runtime does not
         # lower complex64 fft/divide — pin these commands to CPU (the
         # split-complex production path via `bench` uses the TPU)
@@ -255,6 +308,7 @@ def main(argv=None) -> int:
         "stream": _cmd_stream,
         "sweep": _cmd_sweep,
         "plot": _cmd_plot,
+        "sync": _cmd_sync,
         "devices": _cmd_devices,
     }[args.cmd](args)
 

@@ -143,6 +143,33 @@ def generate(
     return FrameBatch(tx_pre, rx_pre, tx, rx, ow2, h)
 
 
+def synthesize_preamble_time(pre_fft: jnp.ndarray) -> jnp.ndarray:
+    """(…, 53) preamble spectrum → (…, 160) time-domain long preamble.
+
+    Inverse of ops.blocks.preamble_fft up to the repeat average: the
+    64-sample LTS is repeated twice behind its last 32 samples as cyclic
+    prefix — the 802.11 long-preamble layout (WiFi_RX.m:19-29 reads it
+    back as two repeats at offsets 32 and 96).
+    """
+    *lead, nsc = pre_fft.shape
+    assert nsc == C.N_SC, pre_fft.shape
+    spec64 = jnp.zeros((*lead, C.N_FFT), pre_fft.dtype)
+    spec64 = spec64.at[..., : C.N_SC].set(pre_fft)
+    spec64 = jnp.roll(spec64, -C.FFT_SHIFT, axis=-1)
+    t = jnp.fft.ifft(spec64, axis=-1)  # (…, 64)
+    return jnp.concatenate([t[..., -32:], t, t], axis=-1)
+
+
+def apply_time_cfo(
+    x: jnp.ndarray, eps: float, start: int = 0
+) -> jnp.ndarray:
+    """Impair a (…, N) time-domain stream with a CFO of ``eps``
+    cycles/sample: x[n] · exp(+2πi·eps·(start+n))."""
+    n = x.shape[-1]
+    t = start + np.arange(n)
+    return x * jnp.asarray(np.exp(2j * np.pi * eps * t), x.dtype)
+
+
 def synthesize_time(symb: jnp.ndarray) -> jnp.ndarray:
     """(…, 15, 53) frequency-domain blocks → (…, 1200) time-domain packet.
 

@@ -242,21 +242,35 @@ def rx_chain(
     rx_lptot: Cplx,    # (…, 160)
     avg_blocks: int = C.N_AVG_BLOCKS,
     equalize_with: str = "h_linear",
+    sync: bool = False,
 ) -> RxOutputs:
     """The full WiFi_RX.m chain, batched: time-domain samples → estimates →
     equalized symbols.  Pure function of its inputs; jit/vmap/shard-ready.
 
     ``equalize_with`` names the PS estimate blended into the equalizer CFR;
-    the golden model fixes PS-Linear (WiFi_RX.m:60)."""
+    the golden model fixes PS-Linear (WiFi_RX.m:60).
+
+    ``sync=True`` enables the synchronization stages the reference lacks
+    (ops/cfo.py): Moose CFO correction from the LTS repeats before the
+    front end, and per-block pilot CPE correction after equalization.  Off
+    by default — the reference-parity chain runs uncorrected, as the
+    reference does (its capture carries 20 kHz of CFO, WiFi_RX.m:9)."""
+    if sync:
+        from tpu80211.ops import cfo as cfo_ops
+
+        rx_packet, rx_lptot, _ = cfo_ops.correct_cfo(rx_packet, rx_lptot)
     tx_pre = preamble_fft(tx_lptot)
     rx_pre = preamble_fft(rx_lptot)
     ow2 = noise_power(rx_lptot)
     tx_blocks = extract_blocks(tx_packet)
     rx_blocks = extract_blocks(rx_packet)
-    return rx_chain_freq(
+    out = rx_chain_freq(
         tx_pre, rx_pre, tx_blocks, rx_blocks, ow2,
         avg_blocks=avg_blocks, equalize_with=equalize_with,
     )
+    if sync:
+        out = out._replace(eq=cfo_ops.cpe_correct(out.eq, tx_blocks))
+    return out
 
 
 def rx_chain_freq(
