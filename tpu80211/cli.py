@@ -55,6 +55,9 @@ def _build_parser() -> argparse.ArgumentParser:
     st.add_argument("--out-dir", default=None,
                     help="persist per-batch H_EST shards + resume cursor")
     st.add_argument("--snr-db", type=float, default=40.0)
+    st.add_argument("--engine", default="native", choices=("native", "jax"),
+                    help="host-side frame producer: the multithreaded C++ "
+                         "data engine (default) or the JAX CPU generator")
     st.add_argument("--cpu", action="store_true",
                     help="run on the CPU backend (shard persistence does "
                          "many small device→host fetches, which stall over "
@@ -191,7 +194,8 @@ def _cmd_stream(args) -> int:
     from tpu80211.pipeline import stream
 
     res = stream.run_stream(
-        stream.synthetic_batches(args.batches, args.batch, snr_db=args.snr_db),
+        stream.synthetic_batches(args.batches, args.batch, snr_db=args.snr_db,
+                                 engine=args.engine),
         out_dir=args.out_dir,
     )
     print(json.dumps(res))

@@ -108,10 +108,37 @@ class _Sink:
         return str(self.dir) if self.dir else None
 
 
-def synthetic_batches(n_batches: int, batch: int, seed: int = 0, snr_db: float = 40.0):
-    """Generator of frequency-domain arg tuples for sc.rx_chain_freq."""
-    from tpu80211.datasets import synthetic
+def synthetic_batches(
+    n_batches: int, batch: int, seed: int = 0, snr_db: float = 40.0,
+    engine: str = "jax",
+):
+    """Generator of frequency-domain arg tuples for sc.rx_chain_freq.
+
+    ``engine="native"`` produces frames with the multithreaded C++ data
+    engine (datasets/native_engine.py) — the production host-side path;
+    ``"jax"`` uses the JAX CPU generator (bit-reproducible with the test
+    fixtures).  Both are deterministic per (seed, batch index).
+    """
     import jax.numpy as jnp
+
+    if engine == "native":
+        from tpu80211.datasets import native_engine
+
+        for i in range(n_batches):
+            fb = native_engine.generate(
+                batch, seed=seed, frame0=i * batch, snr_db=snr_db
+            )
+            yield (
+                Cplx.from_complex(fb.tx_preamble_fft),
+                Cplx.from_complex(fb.rx_preamble_fft),
+                Cplx.from_complex(fb.tx_symb),
+                Cplx.from_complex(fb.rx_symb),
+                jnp.asarray(fb.ow2),
+            )
+        return
+    assert engine == "jax", engine
+
+    from tpu80211.datasets import synthetic
 
     for i in range(n_batches):
         with jax.default_device(jax.devices("cpu")[0]):
@@ -126,3 +153,20 @@ def synthetic_batches(n_batches: int, batch: int, seed: int = 0, snr_db: float =
                 Cplx.from_complex(np.asarray(fb.rx_symb)),
                 jnp.asarray(np.asarray(fb.ow2)),
             )
+
+
+def native_time_batches(
+    n_batches: int, batch: int, seed: int = 0, snr_db: float = 40.0,
+    threads: int = 0,
+):
+    """Generator of time-domain arg tuples for the fused Pallas chain
+    (kernels.fused_chain.fused_rx_chain): packets + long preambles,
+    produced entirely by the native engine (no host-side Python math)."""
+    from tpu80211.datasets import native_engine
+
+    for i in range(n_batches):
+        _, tb = native_engine.generate(
+            batch, seed=seed, frame0=i * batch, snr_db=snr_db,
+            threads=threads, time_domain=True,
+        )
+        yield (tb.tx_pkt, tb.rx_pkt, tb.tx_lp, tb.rx_lp)
