@@ -82,6 +82,15 @@ def _build_parser() -> argparse.ArgumentParser:
                          "value, WiFi_RX.m:9)")
     sy.add_argument("--snr-db", type=float, default=40.0)
 
+    qu = sub.add_parser("quality", help="estimator accuracy benchmark: "
+                        "NMSE/EVM/BER vs SNR (the quantitative successor of "
+                        "the reference's plot-PNG accuracy record)")
+    qu.add_argument("--snrs", default="0,5,10,15,20,25,30,35,40",
+                    help="comma-separated SNR points in dB")
+    qu.add_argument("--batch", type=int, default=512)
+    qu.add_argument("--png", default=None,
+                    help="also write NMSE/BER-vs-SNR curves to this PNG")
+
     sub.add_parser("devices", help="show backend devices")
     return p
 
@@ -287,6 +296,21 @@ def _cmd_sync(args) -> int:
     return 0
 
 
+def _cmd_quality(args) -> int:
+    from tpu80211.bench import quality
+
+    snrs = [float(s) for s in args.snrs.split(",") if s.strip()]
+    rows = quality.quality_sweep(snrs, batch=args.batch)
+    for row in rows:
+        print(json.dumps(row))
+    if args.png:
+        import pathlib
+
+        pathlib.Path(args.png).parent.mkdir(parents=True, exist_ok=True)
+        print(quality.plot_quality(rows, args.png))
+    return 0
+
+
 def _cmd_devices(_args) -> int:
     import jax
 
@@ -297,7 +321,7 @@ def _cmd_devices(_args) -> int:
 
 def main(argv=None) -> int:
     args = _build_parser().parse_args(argv)
-    if args.cmd in ("run", "parity", "plot", "sync"):
+    if args.cmd in ("run", "parity", "plot", "sync", "quality"):
         # complex-dtype reference paths: the axon TPU runtime does not
         # lower complex64 fft/divide — pin these commands to CPU (the
         # split-complex production path via `bench` uses the TPU)
@@ -313,6 +337,7 @@ def main(argv=None) -> int:
         "sweep": _cmd_sweep,
         "plot": _cmd_plot,
         "sync": _cmd_sync,
+        "quality": _cmd_quality,
         "devices": _cmd_devices,
     }[args.cmd](args)
 
