@@ -1,6 +1,6 @@
 # Top-level orchestration — replaces the reference's compile.c (fork/execv
 # of g++/mpiCC per variant, compile.c:22-61).
-.PHONY: all native test parity bench sweep plots clean
+.PHONY: all native test parity bench sweep plots quality clean
 
 all: native test
 
@@ -23,6 +23,9 @@ sweep:
 
 plots:
 	python -m tpu80211.cli plot --out-prefix artifacts/cfr
+
+quality:
+	python -m tpu80211.cli quality --png artifacts/quality_vs_snr.png
 
 clean:
 	$(MAKE) -C native clean
