@@ -59,31 +59,42 @@ def _kernel(
     # a Pallas call is a fusion barrier, so scaling OUTSIDE the kernel
     # costs a whole extra HBM pass over the inputs).  eps=0 ⇒ exact ×1.0.
     scale = 1.0 + eps_ref[0, 0]
-    wre = wre_ref[:]  # (64, 53)
-    wim = wim_ref[:]
+    # bf16 storage: feed the DFT matmuls bf16 operands directly — the MXU
+    # multiplies bf16 natively in one pass (f32 operands cost a multi-pass
+    # decomposition), and a bf16-rounded twiddle adds ~2⁻⁸ relative error,
+    # the same order the bf16 inputs already carry.  The perturbation
+    # scale commutes with the (linear) DFT, so it is applied to the (53,L)
+    # outputs instead of the (64,L) inputs — in f32 either way.
+    bf16_mxu = txp_r.dtype == jnp.bfloat16
+    mxu_dtype = jnp.bfloat16 if bf16_mxu else f32
+    wre = wre_ref[:].astype(mxu_dtype)  # (64, 53)
+    wim = wim_ref[:].astype(mxu_dtype)
 
-    def dft(xr, xi):
-        """(64, L) time samples → (53, L) spectrum: y = Wᵀ·x."""
+    def dft(xr, xi, out_scale=None):
+        """(64, L) time samples → (53, L) f32 spectrum: y = scale·Wᵀ·x."""
         yr = jnp.dot(wre.T, xr, preferred_element_type=f32) - jnp.dot(
             wim.T, xi, preferred_element_type=f32
         )
         yi = jnp.dot(wre.T, xi, preferred_element_type=f32) + jnp.dot(
             wim.T, xr, preferred_element_type=f32
         )
+        if out_scale is not None:
+            yr = yr * out_scale
+            yi = yi * out_scale
         return yr, yi
 
-    # -- preambles: average the two LTS repeats, DFT -------------------------
+    # -- preambles: average the two LTS repeats (f32), DFT -------------------
     def preamble(lr, li):
-        ar = (lr[32:96, :] + lr[96:160, :]) * 0.5
-        ai = (li[32:96, :] + li[96:160, :]) * 0.5
-        return dft(ar, ai)
+        ar = ((lr[32:96, :].astype(f32) + lr[96:160, :].astype(f32)) * 0.5)
+        ai = ((li[32:96, :].astype(f32) + li[96:160, :].astype(f32)) * 0.5)
+        return dft(ar.astype(mxu_dtype), ai.astype(mxu_dtype), scale)
 
-    # loads upcast to f32 — inputs may be stored bf16 (halves HBM read)
-    tpre_r, tpre_i = preamble(txl_r[:].astype(f32) * scale,
-                              txl_i[:].astype(f32) * scale)
+    tpre_r, tpre_i = preamble(txl_r[:], txl_i[:])
+    rpre_r, rpre_i = preamble(rxl_r[:], rxl_i[:])
+    # noise estimate reads the scaled f32 view of the rx preamble (cheap:
+    # (160,L) only)
     rxl_r_all = rxl_r[:].astype(f32) * scale
     rxl_i_all = rxl_i[:].astype(f32) * scale
-    rpre_r, rpre_i = preamble(rxl_r_all, rxl_i_all)
 
     # noise power σ² = Σ|rep2−rep1|²/(2·64) (WiFi_RX.m:31)
     dr = rxl_r_all[32:96, :] - rxl_r_all[96:160, :]
@@ -107,17 +118,16 @@ def _kernel(
     chk = ow2 + jnp.sum(hlt_re + hlt_im, axis=0, keepdims=True)
 
     # -- per-block spectra + pilot ratios ------------------------------------
-    txp_r_all = txp_r[:].astype(f32) * scale
-    txp_i_all = txp_i[:].astype(f32) * scale
-    rxp_r_all = rxp_r[:].astype(f32) * scale
-    rxp_i_all = rxp_i[:].astype(f32) * scale
-
-    blocks = []  # (txr, txi, rxr, rxi) per block, each (53, L)
+    # slice the packet refs per block in storage dtype; the DFT consumes
+    # them directly (bf16 MXU path skips the materialized f32 upcast)
+    blocks = []  # (txr, txi, rxr, rxi) per block, each (53, L) f32
     for b in range(C.N_BLOCKS):
         lo = b * C.SAMP_PER_BLOCK + C.N_CP
         hi = lo + C.N_FFT
-        tb = dft(txp_r_all[lo:hi, :], txp_i_all[lo:hi, :])
-        rb = dft(rxp_r_all[lo:hi, :], rxp_i_all[lo:hi, :])
+        tb = dft(txp_r[lo:hi, :].astype(mxu_dtype),
+                 txp_i[lo:hi, :].astype(mxu_dtype), scale)
+        rb = dft(rxp_r[lo:hi, :].astype(mxu_dtype),
+                 rxp_i[lo:hi, :].astype(mxu_dtype), scale)
         blocks.append((tb[0], tb[1], rb[0], rb[1]))
 
     def cdiv(ar, ai, br, bi):
