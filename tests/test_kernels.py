@@ -36,6 +36,45 @@ def test_fused_rank1_solve_matches_direct():
         assert rel < 1e-4, (i, rel)
 
 
+def test_fused_rank1_solve_cholesky():
+    """method='chol' (lane-batched LLᴴ — the BASELINE-named solve) matches
+    the direct solve and the Gauss path."""
+    rng = np.random.default_rng(3)
+    b = 7
+    u = _rand_u(rng, (b, C.N_SC))
+    rx = _rand_u(rng, (b, C.N_SC))
+    ow2 = np.full((b,), 0.37)
+
+    got = fused_rank1_solve(
+        Cplx.from_complex(u), Cplx.from_complex(rx),
+        jnp.asarray(ow2, jnp.float32), method="chol",
+    ).to_complex()
+
+    for i in range(b):
+        a = ow2[i] * np.eye(C.N_SC) + np.outer(u[i], np.conj(u[i]))
+        want = np.linalg.solve(a, rx[i])
+        rel = np.abs(got[i] - want).max() / np.abs(want).max()
+        assert rel < 1e-4, (i, rel)
+
+
+def test_solve_batched_pallas_cholesky():
+    rng = np.random.default_rng(4)
+    b = 5
+    u = _rand_u(rng, (b, C.N_SC))
+    rx = _rand_u(rng, (b, C.N_SC, 1))
+    a = 0.5 * np.eye(C.N_SC) + u[:, :, None] * np.conj(u[:, None, :])
+
+    got = np.asarray(
+        solve_batched_pallas(
+            jnp.asarray(a, jnp.complex64), jnp.asarray(rx, jnp.complex64),
+            method="chol",
+        )
+    )
+    want = np.linalg.solve(a, rx)
+    rel = np.abs(got - want).max() / np.abs(want).max()
+    assert rel < 1e-4, rel
+
+
 def test_solve_batched_pallas_matches_xla():
     rng = np.random.default_rng(1)
     b = 5
