@@ -30,7 +30,7 @@ from tpu80211.models import lt_ls, ps_interp, ps_mmse
 from tpu80211.ops import equalize
 from tpu80211.utils import metrics
 
-KINDS = ("linear", "cubic", "sinc", "spline")
+KINDS = ("linear", "cubic", "sinc", "spline", "wiener")
 DEFAULT_SNRS = (0.0, 5.0, 10.0, 15.0, 20.0, 25.0, 30.0, 35.0, 40.0)
 
 

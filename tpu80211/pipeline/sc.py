@@ -27,7 +27,7 @@ import numpy as np
 
 from tpu80211 import constants as C
 from tpu80211.config import EstimatorMode
-from tpu80211.cplx import Cplx, apply_dft, matmul_real
+from tpu80211.cplx import Cplx, apply_dft, matmul, matmul_real
 from tpu80211.ops import specmats
 from tpu80211.ops.interp import interp_matrix
 
@@ -111,8 +111,14 @@ def ps_interp(
     hp = pilot_ratios(
         tx_blocks[..., :avg_blocks, :], rx_blocks[..., :avg_blocks, :]
     )  # (…, avg, 4)
-    w = jnp.asarray(interp_matrix(kind, mode), jnp.float32)  # (4, 53)
-    return matmul_real(hp, w).mean(axis=-2)
+    w = interp_matrix(kind, mode)  # (4, 53); complex for kind="wiener"
+    # interpolation is linear: mean-of-interpolated == interpolate-the-mean
+    # (WiFi_channel_estimation_PS_Linear.m:23 averages the interpolated
+    # blocks; doing the 4-block mean first saves 3/4 of the matmul work)
+    hp_bar = hp.mean(axis=-2)
+    if np.iscomplexobj(w):
+        return matmul(hp_bar, Cplx.from_complex(w))
+    return matmul_real(hp_bar, jnp.asarray(w, jnp.float32))
 
 
 def _vdot(a: Cplx, b: Cplx) -> Cplx:
