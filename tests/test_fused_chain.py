@@ -133,7 +133,8 @@ def test_fused_eps_and_checksum(inputs):
 
     # checksum = Σ over all outputs, per frame (padded lanes excluded)
     acc = np.asarray(got["ow2"], np.float64)[:b]
-    for k in ("h_lt", "h_linear", "h_cubic", "h_sinc", "h_spline", "h_mmse", "eq"):
+    for k in ("h_lt", "h_linear", "h_cubic", "h_sinc", "h_spline",
+              "h_wiener", "h_mmse", "eq"):
         v = got[k]
         acc = acc + np.asarray(v.re, np.float64).reshape(-1, v.shape[-1]).sum(0)[:b]
         acc = acc + np.asarray(v.im, np.float64).reshape(-1, v.shape[-1]).sum(0)[:b]
@@ -151,3 +152,75 @@ def test_fused_bf16_inputs(inputs):
     for name, tol in (("h_lt", 3e-2), ("h_linear", 3e-2), ("h_mmse", 8e-2)):
         rel = _rel(got[name].to_complex(), want[name].to_complex())
         assert rel < tol, (name, rel)
+
+
+def test_fused_wiener_matches_ps_interp(inputs):
+    """The fused kernel's 5th interpolator == models.ps_interp('wiener')
+    (VERDICT.md round-1 missing#5)."""
+    from tpu80211.models import ps_interp
+    from tpu80211.ops import extract_blocks
+
+    tx_pkt, rx_pkt, _, _ = inputs
+    got = fused_rx_chain(*inputs)["h_wiener"].to_complex()
+    txb = extract_blocks(jnp.asarray(tx_pkt.to_complex()))
+    rxb = extract_blocks(jnp.asarray(rx_pkt.to_complex()))
+    want = np.asarray(ps_interp(txb, rxb, "wiener"))
+    assert _rel(got, want) < 1e-5
+
+
+def test_fused_txconst_matches_regular(inputs):
+    """tx-constant mode (precomputed spectra, half the input traffic) ==
+    the per-frame-tx kernel when every frame carries the same tx packet."""
+    from tpu80211.kernels.fused_chain import (
+        LANES, fused_rx_chain_lane_major, fused_rx_chain_txconst, tx_spectra,
+    )
+
+    tx_pkt, rx_pkt, tx_lp, rx_lp = inputs
+    b = tx_pkt.shape[0]
+
+    def pad_t(x, row=None):
+        src = x if row is None else x[row:row + 1]
+        reps = -(-LANES // src.shape[0])
+        re = jnp.tile(src.re, (reps, 1))[:LANES].T
+        im = jnp.tile(src.im, (reps, 1))[:LANES].T
+        return Cplx(re, im)
+
+    # every lane carries frame 2's tx; rx varies per lane
+    lane_tx = pad_t(tx_pkt, 2)
+    lane_txlp = pad_t(tx_lp, 2)
+    lane_rx = pad_t(rx_pkt)
+    lane_rxlp = pad_t(rx_lp)
+
+    want = fused_rx_chain_lane_major(lane_tx, lane_rx, lane_txlp, lane_rxlp)
+    txs, tpre = tx_spectra(tx_pkt[2], tx_lp[2])
+    got = fused_rx_chain_txconst(txs, tpre, lane_rx, lane_rxlp)
+
+    for name, tol in (("h_lt", 1e-5), ("h_linear", 1e-5), ("h_wiener", 1e-5),
+                      ("h_mmse", 1e-3), ("eq", 1e-4)):
+        g = got[name].to_complex()[..., :b]
+        w = want[name].to_complex()[..., :b]
+        assert _rel(g, w) < tol, (name, _rel(g, w))
+
+
+def test_fused_sync_matches_sc(inputs):
+    """sync=True (in-kernel Moose CFO + pilot CPE) == sc.rx_chain(sync=True)
+    on frames carrying a genuine CFO (VERDICT.md round-1 missing#5)."""
+    from tpu80211.ops import cfo as cfo_ops
+
+    tx_pkt, rx_pkt, tx_lp, rx_lp = inputs
+    # impose a 20 kHz CFO on the rx streams (WiFi_RX.m:9's impairment)
+    eps = 20e3 / 20e6  # 20 kHz at 20 MS/s (WiFi_RX.m:9, synthetic.py default)
+    rx_pkt_c = cfo_ops.derotate(rx_pkt, -jnp.full((rx_pkt.shape[0],), eps),
+                                start=C.PREAMBLE_SAMPLES)
+    rx_lp_c = cfo_ops.derotate(rx_lp, -jnp.full((rx_lp.shape[0],), eps),
+                               start=0)
+
+    got = fused_rx_chain(tx_pkt, rx_pkt_c, tx_lp, rx_lp_c, sync=True)
+    want = sc.rx_chain(tx_pkt, rx_pkt_c, tx_lp, rx_lp_c, sync=True)
+    # recovered CFO ≈ imposed
+    np.testing.assert_allclose(np.asarray(got["cfo"]), eps, rtol=1e-3)
+    for name, tol in (("h_lt", 1e-4), ("h_linear", 1e-4),
+                      ("h_mmse", 1e-3), ("eq", 1e-3)):
+        g = got[name].to_complex()
+        w = getattr(want, name).to_complex()
+        assert _rel(g, w) < tol, (name, _rel(g, w))

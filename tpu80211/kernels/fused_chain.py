@@ -16,6 +16,18 @@ production receiver would write its ADC stream in this layout directly;
 the boundary (that transpose costs one extra pass over the inputs — use
 `fused_rx_chain_lane_major` to avoid it).
 
+Modes (both static, compiled as separate kernels):
+
+* **tx-constant** (``fused_rx_chain_txconst``): when every frame carries
+  the same known transmit packet (the realistic production case — a fixed
+  training sequence), the tx spectra are passed as a ~7 KB replicated
+  constant instead of per-frame (1200+160, L) tensors, halving the input
+  HBM traffic — the chain's dominant cost.
+* **sync** (``sync=True``): the Moose CFO estimate + time-domain
+  derotation and per-block pilot CPE correction (ops/cfo.py semantics)
+  run inside the kernel, so the synchronized chain costs no extra HBM
+  passes (the derotation is elementwise on data already in VMEM).
+
 Numerics match pipeline/sc.py MATH mode with the PS-Linear equalizer
 blend (WiFi_RX.m:60); estimator math runs f32 regardless of storage dtype.
 """
@@ -38,26 +50,34 @@ from tpu80211.ops.interp import interp_matrix
 
 LANES = 128
 _P0, _P1, _P2, _P3 = C.PILOT_IDX
+INTERP_KINDS = ("linear", "cubic", "sinc", "spline", "wiener")
+_TWO_PI = 2.0 * np.pi
+NB_PAD = 16  # tx-const spectra column pad (15 blocks → aligned 16)
 
 
 def _row_mask(n, row):
     return jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0) == row
 
 
-def _kernel(
-    # inputs, each (dim, LANES) f32 VMEM refs
-    txp_r, txp_i, rxp_r, rxp_i, txl_r, txl_i, rxl_r, rxl_i,
-    wre_ref, wim_ref,   # (64, 53) block-DFT planes
-    winterp_ref,        # (4, 53, 4) stacked interp matrices (lin/cub/sinc/spl)
-    eps_ref,            # (1, 1) SMEM scalar: inputs scaled by (1+eps) on load
-    # outputs
-    hlt_r, hlt_i, hlin_r, hlin_i, hcub_r, hcub_i, hsin_r, hsin_i,
-    hspl_r, hspl_i, hmmse_r, hmmse_i, eq_r, eq_i, ow2_out, chk_out,
-):
+def _kernel(*refs, tx_const: bool, sync: bool):
     f32 = jnp.float32
+    it = iter(refs)
+    if tx_const:
+        # replicated tx spectra: (53, 16) blocks (cols 0..14), (53, 1) pre
+        txs_r, txs_i, tpc_r, tpc_i = (next(it) for _ in range(4))
+    else:
+        txp_r, txp_i, txl_r, txl_i = (next(it) for _ in range(4))
+    rxp_r, rxp_i, rxl_r, rxl_i = (next(it) for _ in range(4))
+    wre_ref, wim_ref, winre_ref, winim_ref, eps_ref = (next(it) for _ in range(5))
+    (hlt_r, hlt_i, hlin_r, hlin_i, hcub_r, hcub_i, hsin_r, hsin_i,
+     hspl_r, hspl_i, hwie_r, hwie_i, hmmse_r, hmmse_i,
+     eq_r, eq_i, ow2_out, cfo_out, chk_out) = (next(it) for _ in range(19))
+
     # Input perturbation fused into the load (bench serialization hook —
     # a Pallas call is a fusion barrier, so scaling OUTSIDE the kernel
     # costs a whole extra HBM pass over the inputs).  eps=0 ⇒ exact ×1.0.
+    # In tx-const mode only the rx side is scaled (tx is a constant) —
+    # serialization only needs *some* data dependency on the prior step.
     scale = 1.0 + eps_ref[0, 0]
     # bf16 storage: feed the DFT matmuls bf16 operands directly — the MXU
     # multiplies bf16 natively in one pass (f32 operands cost a multi-pass
@@ -65,7 +85,7 @@ def _kernel(
     # the same order the bf16 inputs already carry.  The perturbation
     # scale commutes with the (linear) DFT, so it is applied to the (53,L)
     # outputs instead of the (64,L) inputs — in f32 either way.
-    bf16_mxu = txp_r.dtype == jnp.bfloat16
+    bf16_mxu = rxp_r.dtype == jnp.bfloat16
     mxu_dtype = jnp.bfloat16 if bf16_mxu else f32
     wre = wre_ref[:].astype(mxu_dtype)  # (64, 53)
     wim = wim_ref[:].astype(mxu_dtype)
@@ -83,20 +103,48 @@ def _kernel(
             yi = yi * out_scale
         return yr, yi
 
-    # -- preambles: average the two LTS repeats (f32), DFT -------------------
-    def preamble(lr, li):
-        ar = ((lr[32:96, :].astype(f32) + lr[96:160, :].astype(f32)) * 0.5)
-        ai = ((li[32:96, :].astype(f32) + li[96:160, :].astype(f32)) * 0.5)
-        return dft(ar.astype(mxu_dtype), ai.astype(mxu_dtype), scale)
-
-    tpre_r, tpre_i = preamble(txl_r[:], txl_i[:])
-    rpre_r, rpre_i = preamble(rxl_r[:], rxl_i[:])
-    # noise estimate reads the scaled f32 view of the rx preamble (cheap:
-    # (160,L) only)
+    # scaled f32 view of the rx preamble (cheap: (160,L) only)
     rxl_r_all = rxl_r[:].astype(f32) * scale
     rxl_i_all = rxl_i[:].astype(f32) * scale
 
-    # noise power σ² = Σ|rep2−rep1|²/(2·64) (WiFi_RX.m:31)
+    if sync:
+        # Moose CFO from the LTS repeats (ops/cfo.py::estimate_cfo); the
+        # perturbation scale cancels in the correlation angle
+        r1r, r1i = rxl_r_all[32:96, :], rxl_i_all[32:96, :]
+        r2r, r2i = rxl_r_all[96:160, :], rxl_i_all[96:160, :]
+        cr = jnp.sum(r1r * r2r + r1i * r2i, axis=0, keepdims=True)
+        ci = jnp.sum(r1r * r2i - r1i * r2r, axis=0, keepdims=True)
+        eps_cfo = jnp.arctan2(ci, cr) / (_TWO_PI * C.N_FFT)  # (1, L)
+        # derotate the preamble in place: x[n] *= exp(-2πi·eps·n), n from 0
+        t_pre = jax.lax.broadcasted_iota(f32, (C.PREAMBLE_SAMPLES, 1), 0)
+        ang = (-_TWO_PI) * eps_cfo * t_pre
+        rot_r, rot_i = jnp.cos(ang), jnp.sin(ang)
+        rxl_r_all, rxl_i_all = (
+            rxl_r_all * rot_r - rxl_i_all * rot_i,
+            rxl_r_all * rot_i + rxl_i_all * rot_r,
+        )
+    else:
+        eps_cfo = jnp.zeros((1, rxl_r_all.shape[-1]), f32)
+    cfo_out[:] = eps_cfo
+
+    # -- preambles: average the two LTS repeats (f32), DFT -------------------
+    def preamble_from_f32(lr, li):
+        ar = (lr[32:96, :] + lr[96:160, :]) * 0.5
+        ai = (li[32:96, :] + li[96:160, :]) * 0.5
+        return dft(ar.astype(mxu_dtype), ai.astype(mxu_dtype))
+
+    # rx preamble: already scaled (and derotated when sync)
+    rpre_r, rpre_i = preamble_from_f32(rxl_r_all, rxl_i_all)
+    if tx_const:
+        tpre_r = tpc_r[:]          # (53, 1) — broadcasts over lanes
+        tpre_i = tpc_i[:]
+    else:
+        tpre_r, tpre_i = preamble_from_f32(
+            txl_r[:].astype(f32) * scale, txl_i[:].astype(f32) * scale
+        )
+
+    # noise power σ² = Σ|rep2−rep1|²/(2·64) (WiFi_RX.m:31) — from the
+    # corrected stream, matching sc.rx_chain(sync=True) ordering
     dr = rxl_r_all[32:96, :] - rxl_r_all[96:160, :]
     di = rxl_i_all[32:96, :] - rxl_i_all[96:160, :]
     ow2 = jnp.sum(dr * dr + di * di, axis=0, keepdims=True) / (2.0 * C.N_FFT)
@@ -120,14 +168,29 @@ def _kernel(
     # -- per-block spectra + pilot ratios ------------------------------------
     # slice the packet refs per block in storage dtype; the DFT consumes
     # them directly (bf16 MXU path skips the materialized f32 upcast)
-    blocks = []  # (txr, txi, rxr, rxi) per block, each (53, L) f32
+    blocks = []  # (txr, txi, rxr, rxi) per block; tx is (53,1) in tx-const
     for b in range(C.N_BLOCKS):
         lo = b * C.SAMP_PER_BLOCK + C.N_CP
         hi = lo + C.N_FFT
-        tb = dft(txp_r[lo:hi, :].astype(mxu_dtype),
-                 txp_i[lo:hi, :].astype(mxu_dtype), scale)
-        rb = dft(rxp_r[lo:hi, :].astype(mxu_dtype),
-                 rxp_i[lo:hi, :].astype(mxu_dtype), scale)
+        if sync:
+            # derotate this block's 64 samples; time base continues from
+            # the preamble (ops/cfo.py::correct_cfo start semantics)
+            t0 = C.PREAMBLE_SAMPLES + lo
+            tb_idx = t0 + jax.lax.broadcasted_iota(f32, (C.N_FFT, 1), 0)
+            ang = (-_TWO_PI) * eps_cfo * tb_idx
+            rot_r, rot_i = jnp.cos(ang), jnp.sin(ang)
+            xr = rxp_r[lo:hi, :].astype(f32)
+            xi = rxp_i[lo:hi, :].astype(f32)
+            xr, xi = xr * rot_r - xi * rot_i, xr * rot_i + xi * rot_r
+            rb = dft(xr.astype(mxu_dtype), xi.astype(mxu_dtype), scale)
+        else:
+            rb = dft(rxp_r[lo:hi, :].astype(mxu_dtype),
+                     rxp_i[lo:hi, :].astype(mxu_dtype), scale)
+        if tx_const:
+            tb = (txs_r[:, b:b + 1], txs_i[:, b:b + 1])
+        else:
+            tb = dft(txp_r[lo:hi, :].astype(mxu_dtype),
+                     txp_i[lo:hi, :].astype(mxu_dtype), scale)
         blocks.append((tb[0], tb[1], rb[0], rb[1]))
 
     def cdiv(ar, ai, br, bi):
@@ -147,13 +210,19 @@ def _kernel(
         hp.append((jnp.concatenate(pr, axis=0), jnp.concatenate(pi_, axis=0)))
 
     # -- interpolators: H = Wᵀ(53,4) @ hp(4,L), averaged over blocks ----------
-    def interp(idx, out_r, out_i):
-        w = winterp_ref[idx]  # (53, 4)
+    def interp(idx, out_r, out_i, complex_w=False):
+        wr = winre_ref[idx]  # (53, 4)
         acc_r = jnp.zeros((C.N_SC, LANES), f32)
         acc_i = jnp.zeros((C.N_SC, LANES), f32)
         for b in range(C.N_AVG_BLOCKS):
-            acc_r = acc_r + jnp.dot(w, hp[b][0], preferred_element_type=f32)
-            acc_i = acc_i + jnp.dot(w, hp[b][1], preferred_element_type=f32)
+            acc_r = acc_r + jnp.dot(wr, hp[b][0], preferred_element_type=f32)
+            acc_i = acc_i + jnp.dot(wr, hp[b][1], preferred_element_type=f32)
+        if complex_w:
+            # the Wiener map is complex (it rotates phase between bins)
+            wi = winim_ref[idx]
+            for b in range(C.N_AVG_BLOCKS):
+                acc_r = acc_r - jnp.dot(wi, hp[b][1], preferred_element_type=f32)
+                acc_i = acc_i + jnp.dot(wi, hp[b][0], preferred_element_type=f32)
         out_r[:] = acc_r / C.N_AVG_BLOCKS
         out_i[:] = acc_i / C.N_AVG_BLOCKS
         return acc_r / C.N_AVG_BLOCKS, acc_i / C.N_AVG_BLOCKS
@@ -162,7 +231,8 @@ def _kernel(
     hcub = interp(1, hcub_r, hcub_i)
     hsin = interp(2, hsin_r, hsin_i)
     hspl = interp(3, hspl_r, hspl_i)
-    for hr, hi in ((hlin_re, hlin_im), hcub, hsin, hspl):
+    hwie = interp(4, hwie_r, hwie_i, complex_w=True)
+    for hr, hi in ((hlin_re, hlin_im), hcub, hsin, hspl, hwie):
         chk = chk + jnp.sum(hr + hi, axis=0, keepdims=True)
 
     # -- MMSE (MATH mode, rank-1 closed form; v = H_LT exactly) ---------------
@@ -185,7 +255,7 @@ def _kernel(
     # -- equalize with the PS-Linear blend (WiFi_RX.m:60) ---------------------
     n = C.N_BLOCKS
     for b in range(n):
-        _, _, rbr, rbi = blocks[b]
+        tbr, tbi, rbr, rbi = blocks[b]
         w_ps = (b + 1) / n
         w_lt = (n - (b + 1)) / n
         hur = w_lt * hlt_re + w_ps * hlin_re
@@ -195,74 +265,150 @@ def _kernel(
         er, ei = cdiv(rbr, rbi, hur, hui)
         er = jnp.where(dc, 0.0, er)
         ei = jnp.where(dc, 0.0, ei)
+        if sync:
+            # per-block pilot CPE removal (ops/cfo.py::cpe_correct):
+            # g = Σ_p eq[p]·conj(tx[p]); eq *= conj(g)/|g| (phase only)
+            gr = gi = None
+            for p in (_P0, _P1, _P2, _P3):
+                zr, zi = er[p:p + 1, :], ei[p:p + 1, :]
+                tr_, ti_ = tbr[p:p + 1, :], tbi[p:p + 1, :]
+                tr2 = zr * tr_ + zi * ti_
+                ti2 = zi * tr_ - zr * ti_
+                gr = tr2 if gr is None else gr + tr2
+                gi = ti2 if gi is None else gi + ti2
+            mag = jnp.sqrt(gr * gr + gi * gi)
+            mag = jnp.where(mag == 0.0, 1.0, mag)
+            rr_, ri_ = gr / mag, -gi / mag
+            er, ei = er * rr_ - ei * ri_, er * ri_ + ei * rr_
         eq_r[b, :, :] = er.astype(eq_r.dtype)
         eq_i[b, :, :] = ei.astype(eq_i.dtype)
         chk = chk + jnp.sum(er + ei, axis=0, keepdims=True)
     chk_out[:] = chk
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def _fused_call(txp_r, txp_i, rxp_r, rxp_i, txl_r, txl_i, rxl_r, rxl_i,
-                eps, interpret):
-    ntile = txp_r.shape[-1] // LANES
+def _out_specs_shapes(l, eq_dtype):
+    def vspec(dim):
+        return pl.BlockSpec((dim, LANES), lambda i: (0, i),
+                            memory_space=pltpu.VMEM)
+
+    sc53 = vspec(C.N_SC)
+    out_specs = (
+        [sc53] * 14
+        + [pl.BlockSpec((C.N_BLOCKS, C.N_SC, LANES), lambda i: (0, 0, i),
+                        memory_space=pltpu.VMEM)] * 2
+        + [vspec(1)] * 3
+    )
+    sh53 = jax.ShapeDtypeStruct((C.N_SC, l), jnp.float32)
+    out_shape = (
+        [sh53] * 14
+        + [jax.ShapeDtypeStruct((C.N_BLOCKS, C.N_SC, l), eq_dtype)] * 2
+        + [jax.ShapeDtypeStruct((1, l), jnp.float32)] * 3
+    )
+    return out_specs, out_shape
+
+
+def _const_specs():
+    wspec = pl.BlockSpec((C.N_FFT, C.N_SC), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM)
+    wispec = pl.BlockSpec((len(INTERP_KINDS), C.N_SC, 4), lambda i: (0, 0, 0),
+                          memory_space=pltpu.VMEM)
+    epspec = pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
     wre, wim = specmats.block_dft()
+    wstack = np.stack([interp_matrix(k).T for k in INTERP_KINDS])  # (5,53,4)
+    consts = (jnp.asarray(wre, jnp.float32), jnp.asarray(wim, jnp.float32),
+              jnp.asarray(wstack.real, jnp.float32),
+              jnp.asarray(wstack.imag, jnp.float32))
+    return [wspec, wspec, wispec, wispec, epspec], consts
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "sync"))
+def _fused_call(txp_r, txp_i, rxp_r, rxp_i, txl_r, txl_i, rxl_r, rxl_i,
+                eps, interpret, sync=False):
+    ntile = txp_r.shape[-1] // LANES
 
     def vspec(dim):
         return pl.BlockSpec((dim, LANES), lambda i: (0, i),
                             memory_space=pltpu.VMEM)
 
-    wspec = pl.BlockSpec((C.N_FFT, C.N_SC), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM)
-    wispec = pl.BlockSpec((4, C.N_SC, 4), lambda i: (0, 0, 0),
-                          memory_space=pltpu.VMEM)
-    epspec = pl.BlockSpec((1, 1), lambda i: (0, 0),
-                          memory_space=pltpu.SMEM)
-    winterp = jnp.asarray(
-        np.stack([interp_matrix(k).T for k in ("linear", "cubic", "sinc", "spline")]),
-        jnp.float32,
-    )
-    sc53 = vspec(C.N_SC)
-    out_specs = (
-        [sc53] * 12
-        + [pl.BlockSpec((C.N_BLOCKS, C.N_SC, LANES), lambda i: (0, 0, i),
-                        memory_space=pltpu.VMEM)] * 2
-        + [vspec(1), vspec(1)]
-    )
-    l = txp_r.shape[-1]
-    eq_dtype = txp_r.dtype  # eq keeps the storage dtype (bf16 in, bf16 out)
-    sh53 = jax.ShapeDtypeStruct((C.N_SC, l), jnp.float32)
-    out_shape = (
-        [sh53] * 12
-        + [jax.ShapeDtypeStruct((C.N_BLOCKS, C.N_SC, l), eq_dtype)] * 2
-        + [jax.ShapeDtypeStruct((1, l), jnp.float32)] * 2
-    )
+    cspecs, consts = _const_specs()
+    out_specs, out_shape = _out_specs_shapes(txp_r.shape[-1], txp_r.dtype)
     return pl.pallas_call(
-        _kernel,
+        functools.partial(_kernel, tx_const=False, sync=sync),
         grid=(ntile,),
-        in_specs=[vspec(C.PACKET_SAMPLES)] * 4
-        + [vspec(C.PREAMBLE_SAMPLES)] * 4
-        + [wspec, wspec, wispec, epspec],
+        in_specs=[vspec(C.PACKET_SAMPLES)] * 2
+        + [vspec(C.PREAMBLE_SAMPLES)] * 2
+        + [vspec(C.PACKET_SAMPLES)] * 2
+        + [vspec(C.PREAMBLE_SAMPLES)] * 2
+        + cspecs,
         out_specs=out_specs,
         out_shape=out_shape,
         interpret=interpret,
     )(
-        txp_r, txp_i, rxp_r, rxp_i, txl_r, txl_i, rxl_r, rxl_i,
-        jnp.asarray(wre, jnp.float32), jnp.asarray(wim, jnp.float32), winterp,
-        jnp.reshape(jnp.asarray(eps, jnp.float32), (1, 1)),
+        txp_r, txp_i, txl_r, txl_i, rxp_r, rxp_i, rxl_r, rxl_i,
+        *consts, jnp.reshape(jnp.asarray(eps, jnp.float32), (1, 1)),
     )
 
 
+@functools.partial(jax.jit, static_argnames=("interpret", "sync"))
+def _fused_call_txconst(txs_r, txs_i, tpc_r, tpc_i, rxp_r, rxp_i,
+                        rxl_r, rxl_i, eps, interpret, sync=False):
+    ntile = rxp_r.shape[-1] // LANES
+
+    def vspec(dim):
+        return pl.BlockSpec((dim, LANES), lambda i: (0, i),
+                            memory_space=pltpu.VMEM)
+
+    tspec = pl.BlockSpec((C.N_SC, NB_PAD), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM)
+    pspec = pl.BlockSpec((C.N_SC, 1), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM)
+    cspecs, consts = _const_specs()
+    out_specs, out_shape = _out_specs_shapes(rxp_r.shape[-1], rxp_r.dtype)
+    return pl.pallas_call(
+        functools.partial(_kernel, tx_const=True, sync=sync),
+        grid=(ntile,),
+        in_specs=[tspec, tspec, pspec, pspec]
+        + [vspec(C.PACKET_SAMPLES)] * 2
+        + [vspec(C.PREAMBLE_SAMPLES)] * 2
+        + cspecs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(
+        txs_r, txs_i, tpc_r, tpc_i, rxp_r, rxp_i, rxl_r, rxl_i,
+        *consts, jnp.reshape(jnp.asarray(eps, jnp.float32), (1, 1)),
+    )
+
+
+_OUT_NAMES = ("h_lt", "h_linear", "h_cubic", "h_sinc", "h_spline",
+              "h_wiener", "h_mmse")
+
+
+def _pack_outputs(outs):
+    res = {}
+    for i, name in enumerate(_OUT_NAMES):
+        res[name] = Cplx(outs[2 * i], outs[2 * i + 1])
+    eq_r, eq_i, ow2, cfo, chk = outs[14:]
+    res["eq"] = Cplx(eq_r, eq_i)
+    res["ow2"] = ow2[0]
+    res["cfo"] = cfo[0]
+    res["checksum"] = chk[0]
+    return res
+
+
 def fused_rx_chain_lane_major(tx_pkt: Cplx, rx_pkt: Cplx,
-                              tx_lp: Cplx, rx_lp: Cplx, eps=0.0):
+                              tx_lp: Cplx, rx_lp: Cplx, eps=0.0,
+                              sync: bool = False):
     """Lane-major entry: packets (1200, B), preambles (160, B); B must be
     a multiple of LANES.  Returns a dict of lane-major outputs:
-    h_* (53, B) Cplx, eq (15, 53, B) Cplx, ow2 (B,), checksum (B,).
+    h_* (53, B) Cplx, eq (15, 53, B) Cplx, ow2/cfo/checksum (B,).
 
     ``eps``: inputs are scaled by (1+eps) inside the kernel on load —
     the bench's serialization perturbation, fused so it costs no extra
     HBM pass.  eps=0.0 multiplies by exactly 1.0 (bit-exact no-op).
-    ``checksum`` is a per-frame sum over every produced output, so a
-    (B,)-sized readback fences the entire computation."""
+    ``sync``: in-kernel Moose CFO derotation + pilot CPE correction
+    (= sc.rx_chain(sync=True)).  ``checksum`` is a per-frame sum over
+    every produced output, so a (B,)-sized readback fences everything."""
     b = tx_pkt.shape[-1]
     assert b % LANES == 0, (
         f"lane-major batch {b} must be a multiple of {LANES} — the grid "
@@ -272,24 +418,70 @@ def fused_rx_chain_lane_major(tx_pkt: Cplx, rx_pkt: Cplx,
     outs = _fused_call(
         tx_pkt.re, tx_pkt.im, rx_pkt.re, rx_pkt.im,
         tx_lp.re, tx_lp.im, rx_lp.re, rx_lp.im, eps,
-        interpret=not on_tpu(),
+        interpret=not on_tpu(), sync=sync,
     )
-    (hlt_r, hlt_i, hlin_r, hlin_i, hcub_r, hcub_i, hsin_r, hsin_i,
-     hspl_r, hspl_i, hmm_r, hmm_i, eq_r, eq_i, ow2, chk) = outs
-    return {
-        "h_lt": Cplx(hlt_r, hlt_i),
-        "h_linear": Cplx(hlin_r, hlin_i),
-        "h_cubic": Cplx(hcub_r, hcub_i),
-        "h_sinc": Cplx(hsin_r, hsin_i),
-        "h_spline": Cplx(hspl_r, hspl_i),
-        "h_mmse": Cplx(hmm_r, hmm_i),
-        "eq": Cplx(eq_r, eq_i),
-        "ow2": ow2[0],
-        "checksum": chk[0],
-    }
+    return _pack_outputs(outs)
 
 
-def fused_rx_chain(tx_pkt: Cplx, rx_pkt: Cplx, tx_lp: Cplx, rx_lp: Cplx):
+def tx_spectra(tx_pkt: Cplx, tx_lp: Cplx) -> tuple[Cplx, Cplx]:
+    """Precompute the tx-constant spectra for `fused_rx_chain_txconst`.
+
+    tx_pkt: (1200,) one transmit packet; tx_lp: (160,) its long preamble.
+    Returns (block spectra (53, 16) — cols 0..14 valid, Cplx f32;
+    preamble spectrum (53, 1) Cplx f32), matching what the non-const
+    kernel computes per frame (f32 DFT; no bf16 rounding — constants are
+    read once per tile, precision is free)."""
+    wre, wim = specmats.block_dft()
+    wre = jnp.asarray(wre, jnp.float32)
+    wim = jnp.asarray(wim, jnp.float32)
+
+    def dft64(xr, xi):  # (64,) -> (53,)
+        yr = wre.T @ xr - wim.T @ xi
+        yi = wre.T @ xi + wim.T @ xr
+        return yr, yi
+
+    cols_r, cols_i = [], []
+    for b in range(C.N_BLOCKS):
+        lo = b * C.SAMP_PER_BLOCK + C.N_CP
+        yr, yi = dft64(tx_pkt.re[lo:lo + C.N_FFT].astype(jnp.float32),
+                       tx_pkt.im[lo:lo + C.N_FFT].astype(jnp.float32))
+        cols_r.append(yr)
+        cols_i.append(yi)
+    pad = [jnp.zeros((C.N_SC,), jnp.float32)] * (NB_PAD - C.N_BLOCKS)
+    txs = Cplx(jnp.stack(cols_r + pad, axis=1), jnp.stack(cols_i + pad, axis=1))
+
+    ar = (tx_lp.re[32:96].astype(jnp.float32)
+          + tx_lp.re[96:160].astype(jnp.float32)) * 0.5
+    ai = (tx_lp.im[32:96].astype(jnp.float32)
+          + tx_lp.im[96:160].astype(jnp.float32)) * 0.5
+    pr, pi_ = dft64(ar, ai)
+    tpre = Cplx(pr[:, None], pi_[:, None])
+    return txs, tpre
+
+
+def fused_rx_chain_txconst(txs: Cplx, tpre: Cplx, rx_pkt: Cplx,
+                           rx_lp: Cplx, eps=0.0, sync: bool = False):
+    """tx-constant lane-major entry: the whole stream shares one known
+    transmit packet, passed as precomputed spectra (see `tx_spectra`) —
+    input HBM traffic halves vs `fused_rx_chain_lane_major`.
+
+    txs: (53, 16) block spectra; tpre: (53, 1); rx_pkt: (1200, B);
+    rx_lp: (160, B).  Output dict as in fused_rx_chain_lane_major.
+    Note: with eps≠0 only the rx side is perturbed (tx is constant)."""
+    b = rx_pkt.shape[-1]
+    assert b % LANES == 0, b
+    assert txs.shape == (C.N_SC, NB_PAD), txs.shape
+    assert tpre.shape == (C.N_SC, 1), tpre.shape
+    outs = _fused_call_txconst(
+        txs.re, txs.im, tpre.re, tpre.im,
+        rx_pkt.re, rx_pkt.im, rx_lp.re, rx_lp.im, eps,
+        interpret=not on_tpu(), sync=sync,
+    )
+    return _pack_outputs(outs)
+
+
+def fused_rx_chain(tx_pkt: Cplx, rx_pkt: Cplx, tx_lp: Cplx, rx_lp: Cplx,
+                   sync: bool = False):
     """Batch-major wrapper: packets (B, 1200), preambles (B, 160).
 
     Pads B to a LANES multiple and transposes at the boundary (one extra
@@ -305,10 +497,10 @@ def fused_rx_chain(tx_pkt: Cplx, rx_pkt: Cplx, tx_lp: Cplx, rx_lp: Cplx):
         return Cplx(re, im)
 
     out = fused_rx_chain_lane_major(prep(tx_pkt), prep(rx_pkt),
-                                    prep(tx_lp), prep(rx_lp))
+                                    prep(tx_lp), prep(rx_lp), sync=sync)
     res = {}
     for k, v in out.items():
-        if k in ("ow2", "checksum"):
+        if k in ("ow2", "cfo", "checksum"):
             res[k] = v[:b]
         elif k == "eq":
             res[k] = Cplx(jnp.transpose(v.re, (2, 0, 1))[:b],

@@ -84,8 +84,17 @@ def rx_chain_dp(mesh: Mesh, avg_blocks: int = C.N_AVG_BLOCKS):
 # -- explicitly-collective pipeline (shard_map over dp × blk) ------------------
 
 
-def rx_step_shardmap(mesh: Mesh, avg_blocks: int = C.N_AVG_BLOCKS):
+def rx_step_shardmap(mesh: Mesh, avg_blocks: int = C.N_AVG_BLOCKS,
+                     solver: str = "sm", method: str = "gauss"):
     """Full RX step as a `shard_map` with explicit collectives.
+
+    ``solver``: "sm" (rank-1 Sherman-Morrison closed form, the production
+    default) or "dense" (the fused Pallas build+solve kernel — the
+    reference's distributed computational shape, inverse_mpi at
+    utils.c:273-353 / main_mpi.c:636-742, composed with the mesh: frames
+    sharded over ``dp``, dense per-block 53×53 solves chip-local, the
+    4-block average as the ``blk`` psum).  ``method`` selects the dense
+    factorization ("gauss" | "chol").
 
     Layout: frames sharded over ``dp``; the 15-block axis of each frame
     block-sharded over ``blk`` (padded 15 → 16 = blk·⌈15/blk⌉ blocks, the
@@ -141,8 +150,10 @@ def rx_step_shardmap(mesh: Mesh, avg_blocks: int = C.N_AVG_BLOCKS):
         h_sin = interp("sinc")
         h_spl = interp("spline")
 
-        # MMSE: per-local-block Sherman-Morrison, then the same psum-average
-        h_mmse = psum_avg(_mmse_per_block(tx_blocks, rx_blocks, ow2, h_lt))
+        # MMSE: per-local-block estimates, then the same psum-average
+        h_mmse = psum_avg(
+            _mmse_per_block(tx_blocks, rx_blocks, ow2, h_lt, solver, method)
+        )
 
         # equalize local blocks with their *global* block index in the
         # LT↔PS blend (WiFi_Equalization.m:4); PS-Linear blend matches the
@@ -185,17 +196,30 @@ def rx_step_shardmap(mesh: Mesh, avg_blocks: int = C.N_AVG_BLOCKS):
     return jax.jit(mapped), nb_pad
 
 
-def _mmse_per_block(tx_blocks: Cplx, rx_blocks: Cplx, ow2, h_lt: Cplx) -> Cplx:
-    """Per-block (un-averaged) Sherman-Morrison MMSE estimates (…, nb, 53).
+def _mmse_per_block(tx_blocks: Cplx, rx_blocks: Cplx, ow2, h_lt: Cplx,
+                    solver: str = "sm", method: str = "gauss") -> Cplx:
+    """Per-block (un-averaged) MMSE estimates (…, nb, 53).
 
-    v = F·ifft(H_LT) = H_LT exactly (see sc.ps_mmse_sm) — no transforms."""
+    v = F·ifft(H_LT) = H_LT exactly (see sc.ps_mmse_sm) — no transforms.
+    solver="sm": the closed form s = uᴴrx/(σ²+‖u‖²) (MATH-mode collapse,
+    see config.EstimatorMode / sc.ps_mmse_sm).  solver="dense": the fused
+    Pallas kernel solves the explicit Ryy z = rx system per block and
+    s = uᴴz — the reference's distributed shape (utils.c:273-353)."""
     vb = h_lt.astype(jnp.float32)[..., None, :]
-    u = tx_blocks * vb
-    # MATH mode: Rhy uses X4ᴴ, collapsing SM to the stable
-    # s = uᴴrx/(σ²+‖u‖²) (see config.EstimatorMode / sc.ps_mmse_sm)
-    denom = jnp.asarray(ow2)[..., None] + u.abs2().sum(axis=-1)
-    urx = (u.conj() * rx_blocks).sum(axis=-1)
-    s = Cplx(urx.re / denom, urx.im / denom)
+    u = tx_blocks.astype(jnp.float32) * vb
+    if solver == "dense":
+        from tpu80211.kernels.mmse_solve import fused_rank1_solve
+
+        ow2_b = jnp.broadcast_to(
+            jnp.asarray(ow2, jnp.float32)[..., None], u.shape[:-1]
+        )
+        z = fused_rank1_solve(u, rx_blocks.astype(jnp.float32), ow2_b,
+                              method=method)
+        s = (u.conj() * z).sum(axis=-1)
+    else:
+        denom = jnp.asarray(ow2)[..., None] + u.abs2().sum(axis=-1)
+        urx = (u.conj() * rx_blocks).sum(axis=-1)
+        s = Cplx(urx.re / denom, urx.im / denom)
     return vb * Cplx(s.re[..., None], s.im[..., None])
 
 
