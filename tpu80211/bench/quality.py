@@ -65,9 +65,94 @@ def quality_sweep(
             for i, s in enumerate(snrs)]
 
 
-def plot_quality(rows: list[dict], out_path: str) -> str:
+def _lts_repeat_time(spec: jnp.ndarray) -> jnp.ndarray:
+    """(…, 53) spectrum → one 64-sample time-domain LTS repeat."""
+    *lead, nsc = spec.shape
+    spec64 = jnp.zeros((*lead, C.N_FFT), spec.dtype)
+    spec64 = spec64.at[..., :nsc].set(spec)
+    spec64 = jnp.roll(spec64, -C.FFT_SHIFT, axis=-1)
+    return jnp.fft.ifft(spec64, axis=-1)
+
+
+def quality_point_fused(snr_db: float, batch: int = 256, seed: int = 0,
+                        dtype=None) -> dict:
+    """Same metrics through the FUSED whole-chain Pallas kernel at a given
+    storage dtype — the configuration whose number is in BENCH_r*.json
+    (round 1 recorded only point tolerances for it, VERDICT.md missing#6).
+
+    ``dtype``: jnp.bfloat16 (the shipped bench default) or jnp.float32.
+    The rx preamble is synthesized with *independent* noise per LTS
+    repeat so the in-chain σ² estimate (WiFi_RX.m:31) is realistic.
+    Post-eq metrics use the kernel's PS-Linear blended equalizer
+    (WiFi_RX.m:60); NMSE is reported for every estimator incl. Wiener.
+    """
+    import jax.numpy as jnp_  # noqa: F401  (kept local style)
+
+    from tpu80211.cplx import Cplx
+    from tpu80211.kernels.fused_chain import fused_rx_chain
+
+    if dtype is None:
+        dtype = jnp.bfloat16
+    k = jax.random.PRNGKey(seed)
+    fb = synthetic.generate(k, batch, snr_db=snr_db, dtype=jnp.complex64)
+
+    pkt_tx = np.asarray(synthetic.synthesize_time(fb.tx_symb))
+    pkt_rx = np.asarray(synthetic.synthesize_time(fb.rx_symb))
+    tx_lp = np.asarray(synthetic.synthesize_preamble_time(fb.tx_preamble_fft))
+
+    # rx preamble: channel-filtered LTS + independent noise per repeat
+    sigma2 = 10.0 ** (-snr_db / 10.0)
+    k1r, k1i, k2r, k2i = jax.random.split(jax.random.PRNGKey(seed + 9999), 4)
+    clean = jnp.asarray(fb.tx_preamble_fft) * jnp.asarray(fb.h_true)
+
+    def rep(kr, ki):
+        n = (jax.random.normal(kr, clean.shape) +
+             1j * jax.random.normal(ki, clean.shape)) * np.sqrt(sigma2 / 2.0)
+        return _lts_repeat_time(clean + n.astype(clean.dtype))
+
+    t1 = rep(k1r, k1i)
+    t2 = rep(k2r, k2i)
+    rx_lp = np.asarray(jnp.concatenate([t1[..., -32:], t1, t2], axis=-1))
+
+    def c(x):
+        return Cplx.from_complex(x, dtype)
+
+    out = fused_rx_chain(c(pkt_tx), c(pkt_rx), c(tx_lp), c(rx_lp))
+
+    row = {
+        "snr_db": float(snr_db), "batch": int(batch),
+        "path": "fused_pallas", "dtype": str(np.dtype(dtype).name),
+        "estimators": {},
+    }
+    for name in ("h_lt", "h_linear", "h_cubic", "h_sinc", "h_spline",
+                 "h_wiener", "h_mmse"):
+        h = jnp.asarray(out[name].to_complex())
+        key = {"h_lt": "lt_ls"}.get(name, "ps_" + name[2:])
+        row["estimators"][key] = {
+            "nmse_db": round(metrics.cfr_nmse_db(h, fb.h_true), 2),
+        }
+    eq = jnp.asarray(out["eq"].to_complex())
+    row["eq_linear_blend"] = {
+        "evm_rms": round(metrics.evm_rms(eq, fb.tx_symb), 4),
+        "ber": round(metrics.qpsk_ber(eq, fb.tx_symb), 5),
+    }
+    return row
+
+
+def quality_sweep_fused(
+    snrs: Sequence[float] = DEFAULT_SNRS, batch: int = 256, seed: int = 0,
+    dtype=None,
+) -> list[dict]:
+    return [quality_point_fused(s, batch=batch, seed=seed + i, dtype=dtype)
+            for i, s in enumerate(snrs)]
+
+
+def plot_quality(rows: list[dict], out_path: str,
+                 fused_rows: list[dict] | None = None) -> str:
     """NMSE-vs-SNR curves per estimator → PNG (the quantitative successor
-    of the reference's Real_Part/Imag_Part.png accuracy record)."""
+    of the reference's Real_Part/Imag_Part.png accuracy record).
+    ``fused_rows`` (quality_sweep_fused) overlays the fused-kernel storage-
+    dtype series as dashed NMSE curves — the f32-vs-bf16 delta record."""
     import matplotlib
 
     matplotlib.use("Agg")
@@ -84,6 +169,23 @@ def plot_quality(rows: list[dict], out_path: str) -> str:
             [max(r["estimators"][name]["ber"], 1e-6) for r in rows],
             marker="o", label=name,
         )
+    if fused_rows:
+        fsnrs = [r["snr_db"] for r in fused_rows]
+        dt = fused_rows[0]["dtype"]
+        for name in fused_rows[0]["estimators"]:
+            ax1.plot(
+                fsnrs,
+                [r["estimators"][name]["nmse_db"] for r in fused_rows],
+                linestyle="--", marker="x", alpha=0.7,
+                label=f"{name} [fused {dt}]",
+            )
+        ax2.semilogy(
+            fsnrs,
+            [max(r["eq_linear_blend"]["ber"], 1e-6) for r in fused_rows],
+            linestyle="--", marker="x", color="k",
+            label=f"eq blend [fused {dt}]",
+        )
+    ax1.legend(fontsize=6)
     ax1.set_xlabel("SNR (dB)")
     ax1.set_ylabel("CFR NMSE (dB)")
     ax1.set_title("Channel-estimation error")

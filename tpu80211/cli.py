@@ -90,6 +90,10 @@ def _build_parser() -> argparse.ArgumentParser:
     qu.add_argument("--batch", type=int, default=512)
     qu.add_argument("--png", default=None,
                     help="also write NMSE/BER-vs-SNR curves to this PNG")
+    qu.add_argument("--fused-dtype", default=None, choices=["bf16", "f32"],
+                    help="also sweep the fused whole-chain Pallas kernel at "
+                         "this storage dtype (the shipped bench "
+                         "configuration) and overlay it in the PNG")
 
     sub.add_parser("devices", help="show backend devices")
     return p
@@ -303,11 +307,21 @@ def _cmd_quality(args) -> int:
     rows = quality.quality_sweep(snrs, batch=args.batch)
     for row in rows:
         print(json.dumps(row))
+    fused_rows = None
+    if args.fused_dtype:
+        import jax.numpy as jnp
+
+        dt = {"bf16": jnp.bfloat16, "f32": jnp.float32}[args.fused_dtype]
+        fused_rows = quality.quality_sweep_fused(
+            snrs, batch=min(args.batch, 256), dtype=dt
+        )
+        for row in fused_rows:
+            print(json.dumps(row))
     if args.png:
         import pathlib
 
         pathlib.Path(args.png).parent.mkdir(parents=True, exist_ok=True)
-        print(quality.plot_quality(rows, args.png))
+        print(quality.plot_quality(rows, args.png, fused_rows=fused_rows))
     return 0
 
 
