@@ -67,12 +67,44 @@ def _throughput(method: str, batch: int, iters: int,
               jax.random.normal(ks[3], (batch, 53), jnp.float32))
     ow2 = jnp.full((batch,), 0.37, jnp.float32)
 
-    @jax.jit
-    def step(u, rx, ow2, s, inc):
-        eps = s + inc
-        u = Cplx(u.re * (1.0 + eps), u.im)
-        z = fused_rank1_solve(u, rx, ow2, method=method)
-        return jnp.tanh(jnp.sum(z.re) + jnp.sum(z.im)) * 1e-9
+    if method == "xla":
+        # XLA's own batched complex solve (jnp.linalg.solve → LU) on the
+        # materialized (B, 53, 53) systems — the natural non-Pallas
+        # implementation, for an honest Pallas-vs-XLA comparison row.
+        @jax.jit
+        def step(u, rx, ow2, s, inc):
+            eps = s + inc
+            uc = (u.re * (1.0 + eps) + 1j * u.im).astype(jnp.complex64)
+            rc = (rx.re + 1j * rx.im).astype(jnp.complex64)
+            a = ow2[:, None, None] * jnp.eye(53, dtype=jnp.complex64) + (
+                uc[:, :, None] * jnp.conj(uc[:, None, :])
+            )
+            z = jnp.linalg.solve(a, rc[..., None])[..., 0]
+            return jnp.tanh(jnp.sum(z.real) + jnp.sum(z.imag)) * 1e-9
+    elif method == "xla_chol":
+        # XLA batched Cholesky + triangular solves (the Hermitian-PD path)
+        @jax.jit
+        def step(u, rx, ow2, s, inc):
+            eps = s + inc
+            uc = (u.re * (1.0 + eps) + 1j * u.im).astype(jnp.complex64)
+            rc = (rx.re + 1j * rx.im).astype(jnp.complex64)
+            a = ow2[:, None, None] * jnp.eye(53, dtype=jnp.complex64) + (
+                uc[:, :, None] * jnp.conj(uc[:, None, :])
+            )
+            l = jnp.linalg.cholesky(a)
+            y = jax.lax.linalg.triangular_solve(
+                l, rc[..., None], left_side=True, lower=True)
+            z = jax.lax.linalg.triangular_solve(
+                l, y, left_side=True, lower=True, conjugate_a=True,
+                transpose_a=True)[..., 0]
+            return jnp.tanh(jnp.sum(z.real) + jnp.sum(z.imag)) * 1e-9
+    else:
+        @jax.jit
+        def step(u, rx, ow2, s, inc):
+            eps = s + inc
+            u = Cplx(u.re * (1.0 + eps), u.im)
+            z = fused_rank1_solve(u, rx, ow2, method=method)
+            return jnp.tanh(jnp.sum(z.re) + jnp.sum(z.im)) * 1e-9
 
     incs = [jnp.float32(1e-6 * i) for i in range(2 * iters)]
     s = step(u, rx, ow2, jnp.float32(0.0), incs[0])

@@ -90,8 +90,11 @@ def test_fused_under_shard_map(inputs):
         for x in inputs
     )  # batch 12, 6 per shard
 
-    # check_vma=False: pallas_call out_shapes carry no varying-mesh-axis
-    # info, which the default vma checker requires
+    # The kernel's out_shape avals now declare the correct vma (union of
+    # the inputs', fused_chain._out_specs_shapes), but interpret-mode
+    # pallas still propagates vma into the kernel *body*, where constant
+    # (replicated) operands mix with varying refs — an upstream
+    # hlo_interpreter limitation, so the CPU test keeps check_vma=False.
     mapped = jax.shard_map(
         lambda a, b, c, d: fused_rx_chain(a, b, c, d),
         mesh=mesh,

@@ -286,7 +286,7 @@ def _kernel(*refs, tx_const: bool, sync: bool):
     chk_out[:] = chk
 
 
-def _out_specs_shapes(l, eq_dtype):
+def _out_specs_shapes(l, eq_dtype, vma=frozenset()):
     def vspec(dim):
         return pl.BlockSpec((dim, LANES), lambda i: (0, i),
                             memory_space=pltpu.VMEM)
@@ -298,11 +298,14 @@ def _out_specs_shapes(l, eq_dtype):
                         memory_space=pltpu.VMEM)] * 2
         + [vspec(1)] * 3
     )
-    sh53 = jax.ShapeDtypeStruct((C.N_SC, l), jnp.float32)
+    # `vma` (varying-mesh-axes): under shard_map with check_vma=True the
+    # out_shape avals must state which mesh axes they vary over — the
+    # outputs vary over exactly the axes the batch inputs do.
+    sh53 = jax.ShapeDtypeStruct((C.N_SC, l), jnp.float32, vma=vma)
     out_shape = (
         [sh53] * 14
-        + [jax.ShapeDtypeStruct((C.N_BLOCKS, C.N_SC, l), eq_dtype)] * 2
-        + [jax.ShapeDtypeStruct((1, l), jnp.float32)] * 3
+        + [jax.ShapeDtypeStruct((C.N_BLOCKS, C.N_SC, l), eq_dtype, vma=vma)] * 2
+        + [jax.ShapeDtypeStruct((1, l), jnp.float32, vma=vma)] * 3
     )
     return out_specs, out_shape
 
@@ -331,7 +334,10 @@ def _fused_call(txp_r, txp_i, rxp_r, rxp_i, txl_r, txl_i, rxl_r, rxl_i,
                             memory_space=pltpu.VMEM)
 
     cspecs, consts = _const_specs()
-    out_specs, out_shape = _out_specs_shapes(txp_r.shape[-1], txp_r.dtype)
+    vma = frozenset().union(*(jax.typeof(a).vma for a in (
+        txp_r, txp_i, rxp_r, rxp_i, txl_r, txl_i, rxl_r, rxl_i, eps)))
+    out_specs, out_shape = _out_specs_shapes(
+        txp_r.shape[-1], txp_r.dtype, vma=vma)
     return pl.pallas_call(
         functools.partial(_kernel, tx_const=False, sync=sync),
         grid=(ntile,),
@@ -363,7 +369,10 @@ def _fused_call_txconst(txs_r, txs_i, tpc_r, tpc_i, rxp_r, rxp_i,
     pspec = pl.BlockSpec((C.N_SC, 1), lambda i: (0, 0),
                          memory_space=pltpu.VMEM)
     cspecs, consts = _const_specs()
-    out_specs, out_shape = _out_specs_shapes(rxp_r.shape[-1], rxp_r.dtype)
+    vma = frozenset().union(*(jax.typeof(a).vma for a in (
+        txs_r, txs_i, tpc_r, tpc_i, rxp_r, rxp_i, rxl_r, rxl_i, eps)))
+    out_specs, out_shape = _out_specs_shapes(
+        rxp_r.shape[-1], rxp_r.dtype, vma=vma)
     return pl.pallas_call(
         functools.partial(_kernel, tx_const=True, sync=sync),
         grid=(ntile,),
