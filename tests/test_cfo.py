@@ -106,3 +106,17 @@ def test_sync_noop_on_clean_frames(impaired):
     synced = med_err(sc.rx_chain(tx_pkt, rx_pkt, tx_lp, rx_lp,
                                  equalize_with="h_mmse", sync=True))
     assert synced < base * 1.1 + 1e-3, (base, synced)
+
+
+def test_constellation_plot(tmp_path):
+    """plot_constellation writes a scatter PNG (the symbol-domain accuracy
+    artifact complementing the reference's CFR curves)."""
+    from tpu80211.utils.plots import plot_constellation
+
+    rng = np.random.default_rng(0)
+    sym = (rng.standard_normal(200) + 1j * rng.standard_normal(200))
+    qpsk = np.array([1 + 1j, 1 - 1j, -1 + 1j, -1 - 1j]) / np.sqrt(2.0)
+    out = plot_constellation({"a": sym, "b": sym * 0.5},
+                             str(tmp_path / "c.png"), ref_points=qpsk)
+    import os
+    assert os.path.getsize(out) > 1000

@@ -81,6 +81,9 @@ def _build_parser() -> argparse.ArgumentParser:
                     help="carrier frequency offset (the capture's generation "
                          "value, WiFi_RX.m:9)")
     sy.add_argument("--snr-db", type=float, default=40.0)
+    sy.add_argument("--constellation", metavar="PNG",
+                    help="write a before/after equalized-constellation "
+                         "scatter to this path")
 
     qu = sub.add_parser("quality", help="estimator accuracy benchmark: "
                         "NMSE/EVM/BER vs SNR (the quantitative successor of "
@@ -285,18 +288,35 @@ def _cmd_sync(args) -> int:
     tx = np.asarray(fb.tx_symb)
     mask = np.asarray(C.DATA_MASK)
 
-    def med_err(sync):
+    def run(sync):
         out = sc.rx_chain(tx_pkt, rx_pkt, tx_lp, rx_lp,
                           equalize_with="h_mmse", sync=sync)
-        return float(np.median(
-            np.abs(out.eq.to_complex() - tx)[..., mask]))
+        eq = out.eq.to_complex()
+        return eq, float(np.median(np.abs(eq - tx)[..., mask]))
 
-    print(json.dumps({
+    eq_raw, err_raw = run(False)
+    eq_sync, err_sync = run(True)
+    result = {
         "fo_hz_true": args.fo_hz,
         "fo_hz_estimated": eps_hat * 20e6,
-        "median_symbol_err_uncorrected": round(med_err(False), 5),
-        "median_symbol_err_sync": round(med_err(True), 5),
-    }))
+        "median_symbol_err_uncorrected": round(err_raw, 5),
+        "median_symbol_err_sync": round(err_sync, 5),
+    }
+    if getattr(args, "constellation", None):
+        from tpu80211.utils.plots import plot_constellation
+
+        qpsk = (np.array([1 + 1j, 1 - 1j, -1 + 1j, -1 - 1j])
+                / np.sqrt(2.0))
+        result["constellation_png"] = plot_constellation(
+            {
+                f"uncorrected ({args.fo_hz/1e3:g} kHz CFO)":
+                    np.asarray(eq_raw)[..., mask],
+                "after CFO derotation + pilot CPE":
+                    np.asarray(eq_sync)[..., mask],
+            },
+            args.constellation, ref_points=qpsk,
+        )
+    print(json.dumps(result))
     return 0
 
 

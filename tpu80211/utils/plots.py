@@ -47,3 +47,38 @@ def plot_cfr(estimates: dict, out_prefix: str, title: str = "") -> list:
         plt.close(fig)
         paths.append(path)
     return paths
+
+
+def plot_constellation(panels: dict, out_path: str, ref_points=None) -> str:
+    """Write a constellation scatter figure: one panel per entry of
+    `panels` ({title: (N,) complex symbols}).  `ref_points`: ideal
+    constellation points to overlay (e.g. the QPSK alphabet).
+
+    The reference records only CFR curves (WiFi_RX.m:66-111); the
+    constellation view is the complementary accuracy artifact — it shows
+    what equalization+sync do to the *symbols* the receiver decides on.
+    """
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    n = len(panels)
+    fig, axes = plt.subplots(1, n, figsize=(4.2 * n, 4.2), squeeze=False)
+    for ax, (title, sym) in zip(axes[0], panels.items()):
+        sym = np.asarray(sym).ravel()
+        ax.scatter(sym.real, sym.imag, s=2, alpha=0.25, linewidths=0)
+        if ref_points is not None:
+            rp = np.asarray(ref_points).ravel()
+            ax.scatter(rp.real, rp.imag, s=60, marker="x", color="k",
+                       zorder=3)
+        ax.set_title(title, fontsize=10)
+        ax.set_xlabel("I")
+        ax.set_ylabel("Q")
+        ax.set_xlim(-2, 2)
+        ax.set_ylim(-2, 2)
+        ax.set_aspect("equal")
+        ax.grid(True, alpha=0.3)
+    fig.savefig(out_path, dpi=120, bbox_inches="tight")
+    plt.close(fig)
+    return out_path
