@@ -1,6 +1,7 @@
 # Top-level orchestration — replaces the reference's compile.c (fork/execv
 # of g++/mpiCC per variant, compile.c:22-61).
-.PHONY: all native test parity bench sweep plots quality clean
+.PHONY: all native test parity bench bench-solve bench-latency \
+        bench-stages sweep plots quality clean
 
 all: native test
 
@@ -17,6 +18,15 @@ parity: native
 
 bench:
 	python bench.py
+
+bench-solve:
+	python scripts/bench_mmse_solve.py
+
+bench-latency:
+	python scripts/bench_latency.py
+
+bench-stages:
+	python scripts/bench_stages.py
 
 sweep:
 	python -m tpu80211.cli sweep
