@@ -124,7 +124,10 @@ def main():
         prev = dt
     out = {"device": str(jax.devices()[0]), "batch": batch, "iters": iters,
            "rows": rows}
-    path = pathlib.Path(__file__).resolve().parents[1] / "artifacts"
+    import os
+    path = pathlib.Path(
+        os.environ.get("TPU80211_ARTIFACTS_DIR")
+        or pathlib.Path(__file__).resolve().parents[1] / "artifacts")
     path.mkdir(exist_ok=True)
     (path / "stage_costs.json").write_text(json.dumps(out, indent=1))
     print(json.dumps({"wrote": str(path / "stage_costs.json")}))

@@ -7,8 +7,11 @@ import subprocess
 import sys
 
 
-def test_bench_stages_runs_tiny():
-    env = {**os.environ, "JAX_PLATFORMS": "cpu"}
+def test_bench_stages_runs_tiny(tmp_path):
+    # TPU80211_ARTIFACTS_DIR: keep the smoke run from clobbering the
+    # committed on-chip artifacts/stage_costs.json
+    env = {**os.environ, "JAX_PLATFORMS": "cpu",
+           "TPU80211_ARTIFACTS_DIR": str(tmp_path)}
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     r = subprocess.run(
         [sys.executable, "-c",
@@ -24,7 +27,7 @@ def test_bench_stages_runs_tiny():
     stages = [o["stage"] for o in lines if "stage" in o]
     assert stages == ["front_end", "lt_ls", "ps_linear", "ps_cubic",
                       "ps_sinc", "ps_spline", "ps_mmse_sm", "equalize"]
-    assert os.path.exists(os.path.join(root, "artifacts/stage_costs.json"))
+    assert os.path.exists(os.path.join(str(tmp_path), "stage_costs.json"))
 
 
 def test_bench_default_path_runs_tiny():
