@@ -3,11 +3,23 @@
 attached device.
 
 Runs the full split-complex RX chain (time-domain packets → block
-extraction → all five estimators → blended equalization (PS-Linear blend,
-the golden model's choice, WiFi_RX.m:60), tpu80211/pipeline/sc.py) and
-prints ONE JSON line:
+extraction → all seven estimators (LT-LS, PS linear/cubic/sinc/spline/
+Wiener, PS-MMSE) → blended equalization (PS-Linear blend, the golden
+model's choice, WiFi_RX.m:60), tpu80211/pipeline/sc.py) and prints ONE
+JSON line:
 
     {"metric": "...", "value": N, "unit": "frames/s", "vs_baseline": N}
+
+The default invocation measures BOTH production shapes and reports the
+tx-constant fused kernel as the headline (VERDICT.md round-2 weak#1: the
+recorded number must BE the documented headline number):
+
+  * "txconst" — every frame shares one known transmit packet, passed as
+    a replicated spectrum constant (the realistic production shape; the
+    reference itself replays a single fixed frame, inputs.h).  Batch
+    65536 so the ~1.3 ms/step amortizes per-step dispatch and both
+    fences converge;
+  * "default" — per-frame tx packets (the general case), batch 32768.
 
 Methodology (honest wall-clock over a remote/tunneled chip):
   * a base frame batch is synthesized on device once; the timed loop feeds
@@ -20,6 +32,8 @@ Methodology (honest wall-clock over a remote/tunneled chip):
     reading the value forces the whole dependency chain to finish;
   * two loop lengths (iters and 2·iters) are timed and the MARGINAL cost
     (dt2 − dt1)/iters cancels fixed RTT/queue overheads;
+  * a SECOND independent fence — the marginal over BATCH SIZE at fixed
+    loop length — corroborates along an orthogonal axis;
   * the reference instead sums thread CPU ticks with clock()
     (main_mpi.c:1015-1081) — not comparable across thread counts.
 
@@ -114,7 +128,6 @@ def _bench_dense_mmse(iters: int = 24, batch: int = 8192) -> float:
     """Apples-to-apples figure for the op the reference actually times —
     the dense regularized 53×53 solve (BASELINE.json configs[3]) — via the
     panel-blocked Cholesky kernel, serialized marginal methodology."""
-    from tpu80211.cplx import Cplx
     from tpu80211.kernels.mmse_solve import fused_rank1_solve
 
     ks = jax.random.split(jax.random.PRNGKey(1), 4)
@@ -146,57 +159,37 @@ def _bench_dense_mmse(iters: int = 24, batch: int = 8192) -> float:
     return batch * iters / dt
 
 
-def main():
-    argv = [a for a in sys.argv[1:] if not a.startswith("--")]
-    # default = the production configuration: fused whole-chain Pallas
-    # kernel with bf16 storage / f32 compute (PERF.md; quality gates in
-    # tests/test_fused_chain.py).  --xla / --f32 select the other paths;
-    # TPU80211_BENCH_PATH=xla forces the fast-compiling XLA path (the
-    # fused kernel's tunnel compile costs ~8 min and is not cacheable).
-    import os as _os
-
-    if _os.environ.get("TPU80211_BENCH_PATH") == "xla":
-        sys.argv.append("--xla")
-    bf16 = "--f32" not in sys.argv[1:]
-    if "--bf16" in sys.argv[1:]:
-        bf16 = True
-    fused = "--xla" not in sys.argv[1:]
-    if "--fused" in sys.argv[1:]:
-        fused = True
-    txconst = "--txconst" in sys.argv[1:]
-    batch = int(argv[0]) if len(argv) > 0 else 32768
-    iters = int(argv[1]) if len(argv) > 1 else 48
-    dtype = jnp.bfloat16 if bf16 else jnp.float32
-
-    def make_inputs(b):
-        base = jax.jit(_gen, static_argnames=("batch", "dtype"))(
-            jax.random.PRNGKey(0), b, dtype
-        )
-        jax.block_until_ready(base)
-        if fused:
-            # fused kernel is lane-major (frame axis last); it accepts bf16
-            # storage (upcasts to f32 in VMEM)
-            base = jax.tree.map(lambda x: x.T, base)
-        if txconst:
-            from tpu80211.kernels.fused_chain import tx_spectra
-
-            from tpu80211.cplx import Cplx
-
-            tx_pkt, rx_pkt, tx_lp, rx_lp = base
-            txs, tpre = tx_spectra(
-                Cplx(tx_pkt.re[:, 0].astype(jnp.float32),
-                     tx_pkt.im[:, 0].astype(jnp.float32)),
-                Cplx(tx_lp.re[:, 0].astype(jnp.float32),
-                     tx_lp.im[:, 0].astype(jnp.float32)),
-            )
-            base = (txs, tpre, rx_pkt, rx_lp)
-        return base
-
-    base = make_inputs(batch)
+def _make_inputs(batch: int, dtype, fused: bool, txconst: bool):
+    base = jax.jit(_gen, static_argnames=("batch", "dtype"))(
+        jax.random.PRNGKey(0), batch, dtype
+    )
+    jax.block_until_ready(base)
+    if fused:
+        # fused kernel is lane-major (frame axis last); it accepts bf16
+        # storage (upcasts to f32 in VMEM)
+        base = jax.tree.map(lambda x: x.T, base)
     if txconst:
-        fn = jax.jit(_step_txconst)
-    else:
-        fn = jax.jit(_step_fused if fused else _step)
+        from tpu80211.kernels.fused_chain import tx_spectra
+
+        tx_pkt, rx_pkt, tx_lp, rx_lp = base
+        txs, tpre = tx_spectra(
+            Cplx(tx_pkt.re[:, 0].astype(jnp.float32),
+                 tx_pkt.im[:, 0].astype(jnp.float32)),
+            Cplx(tx_lp.re[:, 0].astype(jnp.float32),
+                 tx_lp.im[:, 0].astype(jnp.float32)),
+        )
+        base = (txs, tpre, rx_pkt, rx_lp)
+    return base
+
+
+def bench_chain(path: str, batch: int, iters: int, dtype) -> dict:
+    """Measure one chain path with the full serialized + batch-marginal
+    methodology.  ``path`` ∈ {"xla", "fused", "txconst"}."""
+    fused = path != "xla"
+    txconst = path == "txconst"
+    base = _make_inputs(batch, dtype, fused, txconst)
+    fn = jax.jit({"xla": _step, "fused": _step_fused,
+                  "txconst": _step_txconst}[path])
     incs = [jnp.float32(1e-6 * i) for i in range(2 * iters)]
     s = fn(base, jnp.float32(0.0), incs[0])
     float(s)  # full warmup incl. readback path
@@ -214,41 +207,78 @@ def main():
     dt = max(dt2 - dt1, 1e-9)  # marginal time of `iters` extra iterations
     frames_per_s = batch * iters / dt
 
-    # SECOND, independent corroboration (VERDICT.md round-1 weak#4):
-    # marginal over BATCH SIZE at fixed loop length — time the same loop
-    # at B and B/2 and attribute the difference to the extra B/2 frames.
-    # Cancels fixed overhead along an orthogonal axis to the loop-length
-    # marginal; the two estimates agreeing within ~10% rules out the
-    # fixed-overhead-subtraction artifact.
-    half = make_inputs(batch // 2)
+    # SECOND, independent corroboration (VERDICT round-1 weak#4): marginal
+    # over BATCH SIZE at fixed loop length — time the same loop at B and
+    # B/2 and attribute the difference to the extra B/2 frames.  Cancels
+    # fixed overhead along an axis orthogonal to the loop-length marginal.
+    half = _make_inputs(batch // 2, dtype, fused, txconst)
     s_half = fn(half, jnp.float32(0.0), incs[0])
     float(s_half)
     dt_half = run(iters, half)
     dt_b = run(iters, base)
     frames_per_s_bmarg = (batch // 2) * iters / max(dt_b - dt_half, 1e-9)
 
-    result = {
-        "metric": "full-RX-chain (6 estimators + blended equalization) "
-                  "frames/s, single chip, serialized "
-                  f"[{'fused-pallas' if fused else 'xla'}"
-                  f"{'-txconst' if txconst else ''}, "
-                  f"{'bf16-storage/f32-compute' if bf16 else 'f32'}]",
+    bf16 = dtype == jnp.bfloat16
+    return {
         "value": round(frames_per_s, 1),
-        "unit": "frames/s",
         "vs_baseline": round(frames_per_s / BASELINE_FRAMES_PER_S, 1),
         "batch": batch,
         "iters": iters,
         "dtype": "bf16" if bf16 else "f32",
-        "path": ("fused_pallas_txconst" if txconst
-                 else "fused_pallas" if fused else "xla"),
+        "path": {"xla": "xla", "fused": "fused_pallas",
+                 "txconst": "fused_pallas_txconst"}[path],
         "wall_s": round(dt, 4),
         "wall_s_single_loop": round(dt1, 4),
         "frames_per_s_batch_marginal": round(frames_per_s_bmarg, 1),
         "fence_agreement": round(frames_per_s_bmarg / frames_per_s, 3),
-        "device": str(jax.devices()[0]),
     }
+
+
+def _metric_name(row: dict) -> str:
+    return (
+        "full-RX-chain (7 estimators incl. Wiener + blended equalization) "
+        f"frames/s, single chip, serialized [{row['path']}, "
+        f"{'bf16-storage/f32-compute' if row['dtype'] == 'bf16' else 'f32'}]"
+    )
+
+
+def main():
+    argv = [a for a in sys.argv[1:] if not a.startswith("--")]
+    import os as _os
+
+    if _os.environ.get("TPU80211_BENCH_PATH") == "xla":
+        sys.argv.append("--xla")
+    bf16 = "--f32" not in sys.argv[1:]
+    if "--bf16" in sys.argv[1:]:
+        bf16 = True
+    dtype = jnp.bfloat16 if bf16 else jnp.float32
+
+    explicit = [f for f in ("--xla", "--fused", "--txconst") if f in sys.argv[1:]]
+    if explicit or argv:
+        # single-path run with explicit shape (smoke tests, sweeps)
+        path = ("xla" if "--xla" in explicit
+                else "txconst" if "--txconst" in explicit else "fused")
+        batch = int(argv[0]) if len(argv) > 0 else (
+            65536 if path == "txconst" else 32768)
+        iters = int(argv[1]) if len(argv) > 1 else 48
+        row = bench_chain(path, batch, iters, dtype)
+        result = {"metric": _metric_name(row), "unit": "frames/s", **row}
+    else:
+        # DEFAULT: measure both production shapes; headline = tx-const
+        # (the declared production configuration, PERF.md) at batch 65536
+        # so the ~1.3 ms step amortizes dispatch and the fences converge.
+        tx = bench_chain("txconst", 65536, 64, dtype)
+        dflt = bench_chain("fused", 32768, 48, dtype)
+        result = {
+            "metric": _metric_name(tx),
+            "unit": "frames/s",
+            **tx,
+            "default_path": dflt,
+        }
+
+    result["device"] = str(jax.devices()[0])
     # apples-to-apples figure for the op the reference times (MMSE dense
-    # solve alone, BASELINE.json configs[3]) — VERDICT.md round-1 weak#5.
+    # solve alone, BASELINE.json configs[3]) — VERDICT round-1 weak#5.
     # TPU only: the CPU fallback solver at this batch would dominate the
     # smoke-test runtime without measuring anything meaningful.
     from tpu80211.kernels import on_tpu

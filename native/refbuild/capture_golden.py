@@ -46,11 +46,18 @@ def main() -> None:
     blocks = [int(b) for b in sys.argv[1:]] or [0]
     GOLDEN.mkdir(parents=True, exist_ok=True)
     arrays: dict[str, np.ndarray] = {}
-    for b in blocks:
-        print(f"running reference binary, block {b} (cofactor MMSE is slow)...")
-        for name, vec in run_block(b).items():
-            assert vec.shape == (53,), (name, vec.shape)
-            arrays[f"block{b}_{name}"] = vec
+    # each block run costs ~4 min of cofactor-MMSE compute; blocks are
+    # independent processes, so run them concurrently
+    import concurrent.futures as cf
+
+    with cf.ThreadPoolExecutor(max_workers=min(len(blocks), 15)) as ex:
+        futs = {ex.submit(run_block, b): b for b in blocks}
+        for fut in cf.as_completed(futs):
+            b = futs[fut]
+            print(f"reference binary finished block {b}")
+            for name, vec in fut.result().items():
+                assert vec.shape == (53,), (name, vec.shape)
+                arrays[f"block{b}_{name}"] = vec
     path = GOLDEN / "ref_h_est.npz"
     np.savez_compressed(path, **arrays)
     print(f"wrote {path} ({sorted(arrays)})")

@@ -8,6 +8,14 @@ job, not a single-process dryrun (VERDICT.md round-1 missing#3).
 
 Prints "METRIC <v>" where v = global mean |H_mmse|² over the sharded
 batch, computed with GSPMD over the joint ('host','dp') frame axis.
+
+Also runs the explicit-psum `rx_step_shardmap` step (parallel/mesh.py's
+hand-written lax.psum collectives) over flat ('dp','blk') = (2,2) meshes
+in BOTH device layouts — one where the dp psum groups cross the process
+boundary and one where the blk psum groups do — with both MMSE solvers,
+printing "SHARDMAP <layout> <solver> <v>" lines.  This is the
+round-2 gap (VERDICT.md weak#4): previously only the GSPMD chain had
+ever crossed a real process boundary.
 """
 
 import os
@@ -87,4 +95,49 @@ metric = step(
     cplx(host["txb"]), cplx(host["rxb"]), globalize(host["ow2"]),
 )
 print(f"METRIC {float(metric):.9e}", flush=True)
+
+# -- explicit-psum shard_map step across the real process boundary ------------
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P  # noqa: E402
+
+from tpu80211.parallel import pad_blocks, rx_step_shardmap  # noqa: E402
+
+# well-conditioned σ² so the dense f32 solve is far from its conditioning
+# limit (same choice as tests/test_mesh.py::test_shardmap_dense_solver_...)
+OW2_DENSE = np.full((BATCH,), 0.25, np.float32)
+
+devices = np.asarray(jax.devices())  # [p0d0, p0d1, p1d0, p1d1]
+layouts = {
+    # dp groups {0,2},{1,3} span the two processes; blk groups are local
+    "dp_cross": devices.reshape(2, 2),
+    # transposed: blk groups {0,2},{1,3} span the processes instead
+    "blk_cross": devices.reshape(2, 2).T,
+}
+
+for layout_name, arr in layouts.items():
+    mesh2 = Mesh(arr, ("dp", "blk"))
+    dp_s = NamedSharding(mesh2, P("dp"))
+    blk_s = NamedSharding(mesh2, P("dp", "blk"))
+
+    def glob2(x, sh):
+        return jax.make_array_from_callback(x.shape, sh, lambda idx: x[idx])
+
+    def cplx2(x, sh):
+        return Cplx(
+            glob2(np.ascontiguousarray(x.real, np.float32), sh),
+            glob2(np.ascontiguousarray(x.imag, np.float32), sh),
+        )
+
+    for solver in ("sm", "dense"):
+        step2, nb_pad = rx_step_shardmap(mesh2, solver=solver)
+        txb_p = pad_blocks(host["txb"], 2)[:, :nb_pad]
+        rxb_p = pad_blocks(host["rxb"], 2)[:, :nb_pad]
+        _, mse2 = step2(
+            cplx2(host["tx_pre"], dp_s),
+            cplx2(host["rx_pre"], dp_s),
+            cplx2(txb_p, blk_s),
+            cplx2(rxb_p, blk_s),
+            glob2(OW2_DENSE, dp_s),
+        )
+        print(f"SHARDMAP {layout_name} {solver} {float(mse2):.9e}", flush=True)
+
 jax.distributed.shutdown()

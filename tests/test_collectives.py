@@ -8,9 +8,10 @@ design bet endorsed by the reference's own frame-group sweep
 contain exactly the two intended reductions:
 
   * one all-reduce over the ``blk`` subgroups (XLA's combiner merges the
-    five per-estimator psum_avg calls — 2 planes × 5 estimators — into a
-    single tuple all-reduce): the 4-block average, the TPU form of the
-    reference's intra-frame group reduction (main_mpi.c:467-481);
+    six per-estimator psum_avg calls — 2 planes × 6 estimators incl. the
+    Wiener interpolator — into a single tuple all-reduce): the 4-block
+    average, the TPU form of the reference's intra-frame group reduction
+    (main_mpi.c:467-481);
   * one all-reduce over the ``dp`` groups: the global MSE metric, the TPU
     form of the reference's final MPI_Reduce-to-rank-0.
 

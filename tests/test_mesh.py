@@ -91,7 +91,8 @@ def test_shardmap_step_matches_single(batch, dp, blk):
         _c(np.asarray(batch.rx_symb)),
         jnp.asarray(batch.ow2),
     )
-    for name in ("h_lt", "h_linear", "h_cubic", "h_sinc", "h_spline", "h_mmse"):
+    for name in ("h_lt", "h_linear", "h_cubic", "h_sinc", "h_spline",
+                 "h_wiener", "h_mmse"):
         got = getattr(out, name).to_complex()
         want = getattr(ref, name).to_complex()
         assert _rel(got, want) < 1e-4, name

@@ -38,7 +38,10 @@ class EstimatorMode(enum.Enum):
     C_PARITY = "c_parity"
 
 
-ESTIMATOR_NAMES = ("lt_ls", "ps_linear", "ps_cubic", "ps_sinc", "ps_spline", "ps_mmse")
+ESTIMATOR_NAMES = (
+    "lt_ls", "ps_linear", "ps_cubic", "ps_sinc", "ps_spline", "ps_wiener",
+    "ps_mmse",
+)
 
 
 @dataclasses.dataclass(frozen=True)

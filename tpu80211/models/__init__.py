@@ -19,6 +19,9 @@ ps_linear = functools.partial(ps_interp, kind="linear")
 ps_cubic = functools.partial(ps_interp, kind="cubic")
 ps_sinc = functools.partial(ps_interp, kind="sinc")
 ps_spline = functools.partial(ps_interp, kind="spline")
+# MMSE-optimal pilot interpolation (ops/interp.py::_wiener_matrix) —
+# beyond the reference's estimator set, same (tx_blocks, rx_blocks) API
+ps_wiener = functools.partial(ps_interp, kind="wiener")
 
 # pilot-based estimators share the signature (tx_blocks, rx_blocks, **kw)
 PS_ESTIMATORS = {
@@ -26,6 +29,7 @@ PS_ESTIMATORS = {
     "ps_cubic": ps_cubic,
     "ps_sinc": ps_sinc,
     "ps_spline": ps_spline,
+    "ps_wiener": ps_wiener,
 }
 
 __all__ = [
@@ -38,5 +42,6 @@ __all__ = [
     "ps_cubic",
     "ps_sinc",
     "ps_spline",
+    "ps_wiener",
     "PS_ESTIMATORS",
 ]

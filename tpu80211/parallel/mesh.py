@@ -139,16 +139,21 @@ def rx_step_shardmap(mesh: Mesh, avg_blocks: int = C.N_AVG_BLOCKS,
         hp = sc.pilot_ratios(tx_blocks, rx_blocks)  # (b_loc, nb_local, 4)
 
         def interp(kind):
-            from tpu80211.cplx import matmul_real
+            from tpu80211.cplx import matmul, matmul_real
             from tpu80211.ops.interp import interp_matrix
 
-            w = jnp.asarray(interp_matrix(kind), jnp.float32)
-            return psum_avg(matmul_real(hp, w))
+            w = interp_matrix(kind)
+            if np.iscomplexobj(w):  # the Wiener map rotates phase
+                h = matmul(hp, Cplx.from_complex(w))
+            else:
+                h = matmul_real(hp, jnp.asarray(w, jnp.float32))
+            return psum_avg(h)
 
         h_lin = interp("linear")
         h_cub = interp("cubic")
         h_sin = interp("sinc")
         h_spl = interp("spline")
+        h_wie = interp("wiener")
 
         # MMSE: per-local-block estimates, then the same psum-average
         h_mmse = psum_avg(
@@ -169,7 +174,10 @@ def rx_step_shardmap(mesh: Mesh, avg_blocks: int = C.N_AVG_BLOCKS,
         glob = jax.lax.psum(jnp.stack([local_pow, n_frames * C.N_SC]), DP)
         mse = glob[0] / glob[1]
 
-        return sc.RxOutputs(h_lt, h_lin, h_cub, h_sin, h_spl, h_mmse, eq, ow2), mse
+        return (
+            sc.RxOutputs(h_lt, h_lin, h_cub, h_sin, h_spl, h_wie, h_mmse, eq, ow2),
+            mse,
+        )
 
     pspec = jax.sharding.PartitionSpec
     in_specs = (
@@ -186,6 +194,7 @@ def rx_step_shardmap(mesh: Mesh, avg_blocks: int = C.N_AVG_BLOCKS,
             h_cubic=pspec(DP),
             h_sinc=pspec(DP),
             h_spline=pspec(DP),
+            h_wiener=pspec(DP),
             h_mmse=pspec(DP),
             eq=pspec(DP, BLK),
             ow2=pspec(DP),

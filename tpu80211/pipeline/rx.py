@@ -29,6 +29,7 @@ class RxOutputs(NamedTuple):
     h_cubic: jnp.ndarray    # (…, 53)
     h_sinc: jnp.ndarray     # (…, 53)
     h_spline: jnp.ndarray   # (…, 53)
+    h_wiener: jnp.ndarray   # (…, 53) MMSE-optimal interpolation (beyond ref)
     h_mmse: jnp.ndarray     # (…, 53)
     eq: jnp.ndarray         # (…, 15, 53)
     ow2: jnp.ndarray        # (…,)
@@ -81,13 +82,16 @@ def rx_chain_freq(
     h_cub = ps_interp(tx_blocks, rx_blocks, "cubic", **kw)
     h_sin = ps_interp(tx_blocks, rx_blocks, "sinc", **kw)
     h_spl = ps_interp(tx_blocks, rx_blocks, "spline", **kw)
+    h_wie = ps_interp(tx_blocks, rx_blocks, "wiener", **kw)
     h_mmse = ps_mmse(
         tx_blocks, rx_blocks, ow2, h_lt,
         mode=mode, solver=mmse_solver, avg_blocks=avg_blocks,
     )
     h_ps = {
         "h_linear": h_lin, "h_cubic": h_cub, "h_sinc": h_sin,
-        "h_spline": h_spl, "h_mmse": h_mmse,
+        "h_spline": h_spl, "h_wiener": h_wie, "h_mmse": h_mmse,
     }[equalize_with]
     eq = equalize(rx_blocks, h_lt, h_ps)
-    return RxOutputs(h_lt, h_lin, h_cub, h_sin, h_spl, h_mmse, eq, jnp.asarray(ow2))
+    return RxOutputs(
+        h_lt, h_lin, h_cub, h_sin, h_spl, h_wie, h_mmse, eq, jnp.asarray(ow2)
+    )

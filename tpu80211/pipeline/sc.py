@@ -236,8 +236,9 @@ class RxOutputs(NamedTuple):
     h_cubic: Cplx    # (…, 53)
     h_sinc: Cplx     # (…, 53)
     h_spline: Cplx   # (…, 53)
+    h_wiener: Cplx   # (…, 53) MMSE-optimal pilot interpolation (beyond ref)
     h_mmse: Cplx     # (…, 53)
-    eq: Cplx         # (…, 15, 53) equalized symbols (MMSE-blended)
+    eq: Cplx         # (…, 15, 53) equalized symbols (PS-Linear-blended)
     ow2: jnp.ndarray  # (…,) estimated noise power
 
 
@@ -298,10 +299,11 @@ def rx_chain_freq(
     h_cub = ps_interp(tx_blocks, rx_blocks, "cubic", avg_blocks=avg_blocks)
     h_sin = ps_interp(tx_blocks, rx_blocks, "sinc", avg_blocks=avg_blocks)
     h_spl = ps_interp(tx_blocks, rx_blocks, "spline", avg_blocks=avg_blocks)
+    h_wie = ps_interp(tx_blocks, rx_blocks, "wiener", avg_blocks=avg_blocks)
     h_mmse = ps_mmse_sm(tx_blocks, rx_blocks, ow2, h_lt, avg_blocks=avg_blocks)
     h_ps = {
         "h_linear": h_lin, "h_cubic": h_cub, "h_sinc": h_sin,
-        "h_spline": h_spl, "h_mmse": h_mmse,
+        "h_spline": h_spl, "h_wiener": h_wie, "h_mmse": h_mmse,
     }[equalize_with]
     eq = equalize(rx_blocks, h_lt, h_ps)
-    return RxOutputs(h_lt, h_lin, h_cub, h_sin, h_spl, h_mmse, eq, ow2)
+    return RxOutputs(h_lt, h_lin, h_cub, h_sin, h_spl, h_wie, h_mmse, eq, ow2)

@@ -98,7 +98,8 @@ class _Sink:
         if not self.dir:
             return
         arrs = {}
-        for name in ("h_lt", "h_linear", "h_cubic", "h_sinc", "h_spline", "h_mmse"):
+        for name in ("h_lt", "h_linear", "h_cubic", "h_sinc", "h_spline",
+                     "h_wiener", "h_mmse"):
             field = getattr(out, name)
             arrs[name] = (
                 field.to_complex() if isinstance(field, Cplx) else np.asarray(field)
