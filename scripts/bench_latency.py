@@ -33,6 +33,9 @@ import jax.numpy as jnp
 import bench
 
 
+REPEATS = 3
+
+
 def sweep_one(batch: int, iters: int, dtype) -> dict:
     base = jax.jit(bench._gen, static_argnames=("batch", "dtype"))(
         jax.random.PRNGKey(0), batch, dtype
@@ -53,23 +56,37 @@ def sweep_one(batch: int, iters: int, dtype) -> dict:
         float(sv)
         return time.perf_counter() - t0
 
-    dt1 = run(iters)
-    dt = max(run(2 * iters) - dt1, 1e-9)
+    # repeat the whole marginal measurement: the tunnel dispatch jitter is
+    # of order the device step itself at small batches, so a single
+    # (dt2 - dt1) difference can be pure noise (ADVICE round-2: the
+    # published 4096-row varied 0.03-0.22 ms across runs)
+    singles, margins = [], []
+    for _ in range(REPEATS):
+        dt1 = run(iters)
+        margins.append(max(run(2 * iters) - dt1, 1e-9))
+        singles.append(dt1)
+    margins.sort()
+    dt = margins[REPEATS // 2]  # median
+    spread = margins[-1] - margins[0]
+    dt1 = sorted(singles)[REPEATS // 2]
     row = {
         "batch": batch,
         "ms_per_step_marginal": round(1e3 * dt / iters, 4),
+        "ms_per_step_marginal_spread": round(1e3 * spread / iters, 4),
+        "repeats": REPEATS,
         # single-loop number INCLUDES the fixed dispatch/tunnel overhead —
         # for small batches that overhead IS the serving latency floor, so
         # both are reported rather than only the marginal.
         "ms_per_step_single_loop": round(1e3 * dt1 / iters, 4),
         "frames_per_s": round(batch * iters / dt, 1),
     }
-    if dt / iters < 50e-6:
-        # marginal below the per-step dispatch jitter (~1.8 ms wall with
-        # ±ms variance through the tunnel): the device step is hidden
-        # entirely under dispatch overhead — a throughput claim from it
-        # would be meaningless (cf. PERF.md "Measurement over the tunnel")
+    if dt / iters < 50e-6 or spread > 0.5 * dt:
+        # the marginal is below dispatch jitter, or the repeats disagree
+        # by more than half the median: the device step is not resolvable
+        # at this batch — publish null rather than noise-as-signal
+        # (cf. PERF.md "Measurement over the tunnel")
         row["frames_per_s"] = None
+        row["unresolved"] = True
     return row
 
 

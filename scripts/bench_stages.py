@@ -45,6 +45,7 @@ STAGES = [
     "ps_cubic",
     "ps_sinc",
     "ps_spline",
+    "ps_wiener",
     "ps_mmse_sm",
     "equalize",
 ]
@@ -82,7 +83,13 @@ def prefix_chain(args, n_stages: int):
     return jnp.tanh(jnp.sum(flat)) * 1e-9
 
 
-def time_prefix(base, n_stages: int, iters: int) -> float:
+REPEATS = 3
+
+
+def time_prefix(base, n_stages: int, iters: int) -> tuple[float, float]:
+    """Median and spread (max−min) of REPEATS independent loop-marginal
+    measurements of the n-stage prefix, seconds per step."""
+
     @jax.jit
     def step(args, s, inc):
         eps = s + inc
@@ -101,7 +108,10 @@ def time_prefix(base, n_stages: int, iters: int) -> float:
         float(sv)
         return time.perf_counter() - t0
 
-    return max(run(2 * iters) - run(iters), 1e-9) / iters
+    vals = sorted(
+        max(run(2 * iters) - run(iters), 1e-9) / iters for _ in range(REPEATS)
+    )
+    return vals[REPEATS // 2], vals[-1] - vals[0]
 
 
 def main():
@@ -112,16 +122,28 @@ def main():
     )
     jax.block_until_ready(base)
 
-    rows, prev = [], 0.0
+    rows, prev, prev_spread = [], 0.0, 0.0
     for n in range(1, len(STAGES) + 1):
-        dt = time_prefix(base, n, iters)
-        rows.append({
+        dt, spread = time_prefix(base, n, iters)
+        # a stage marginal is the difference of two noisy prefix medians:
+        # it is only signal when it clears the jitter of BOTH prefixes.
+        # Publish null (with the jitter bound) otherwise — never a
+        # negative or sub-jitter number presented as cost (ADVICE round-2)
+        marginal = dt - prev
+        jitter = max(spread, prev_spread)
+        row = {
             "stage": STAGES[n - 1],
             "prefix_ms": round(1e3 * dt, 4),
-            "marginal_ms": round(1e3 * (dt - prev), 4),
-        })
-        print(json.dumps(rows[-1]))
-        prev = dt
+            "prefix_spread_ms": round(1e3 * spread, 4),
+            "repeats": REPEATS,
+            "marginal_ms": (round(1e3 * marginal, 4)
+                            if marginal > jitter else None),
+        }
+        if row["marginal_ms"] is None:
+            row["marginal_below_jitter_ms"] = round(1e3 * jitter, 4)
+        rows.append(row)
+        print(json.dumps(row))
+        prev, prev_spread = dt, spread
     out = {"device": str(jax.devices()[0]), "batch": batch, "iters": iters,
            "rows": rows}
     import os

