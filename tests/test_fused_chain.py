@@ -108,6 +108,53 @@ def test_fused_under_shard_map(inputs):
     assert _rel(got["eq"].to_complex(), want.eq.to_complex()) < 1e-4
 
 
+def test_out_shape_vma_union_mixed_inputs():
+    """The pallas_call out_shape avals must carry the union of the inputs'
+    varying-mesh-axes for mixed varying/replicated inputs (ADVICE round-2:
+    the vma plumbing was untested because the CPU shard_map test runs
+    check_vma=False).  Asserted at trace time under a real shard_map with
+    one dp-varying and one replicated input."""
+    from jax.sharding import PartitionSpec as P
+
+    from tpu80211.kernels import fused_chain as FC
+    from tpu80211.parallel import make_mesh
+
+    mesh = make_mesh(dp=2, blk=1, devices=jax.devices()[:2])
+    seen = {}
+
+    def f(a, b):
+        # the exact union expression _fused_call/_fused_call_txconst use
+        vma = frozenset().union(jax.typeof(a).vma, jax.typeof(b).vma)
+        _, out_shape = FC._out_specs_shapes(FC.LANES, jnp.float32, vma=vma)
+        seen["vma"] = {s.vma for s in out_shape}
+        return a
+
+    jax.eval_shape(
+        jax.jit(jax.shard_map(
+            f, mesh=mesh, in_specs=(P("dp"), P()), out_specs=P("dp"),
+        )),
+        jnp.zeros((2, 4), jnp.float32),
+        jnp.zeros((4,), jnp.float32),
+    )
+    assert seen["vma"] == {frozenset({"dp"})}
+
+    # all-replicated inputs ⇒ empty vma on every out aval
+    def g(a, b):
+        vma = frozenset().union(jax.typeof(a).vma, jax.typeof(b).vma)
+        _, out_shape = FC._out_specs_shapes(FC.LANES, jnp.float32, vma=vma)
+        seen["vma_rep"] = {s.vma for s in out_shape}
+        return a
+
+    jax.eval_shape(
+        jax.jit(jax.shard_map(
+            g, mesh=mesh, in_specs=(P(), P()), out_specs=P(),
+        )),
+        jnp.zeros((2, 4), jnp.float32),
+        jnp.zeros((4,), jnp.float32),
+    )
+    assert seen["vma_rep"] == {frozenset()}
+
+
 def test_fused_eps_and_checksum(inputs):
     """The in-kernel perturbation equals scaling the inputs externally,
     and the per-frame checksum equals the sum over every output."""
