@@ -62,6 +62,12 @@ def _build_parser() -> argparse.ArgumentParser:
                     help="run on the CPU backend (shard persistence does "
                          "many small device→host fetches, which stall over "
                          "a tunneled TPU)")
+    st.add_argument("--device-gen", action="store_true",
+                    help="device-resident stream: synthesize frames ON the "
+                         "TPU and run the fused tx-constant chain — the "
+                         "chip-rate system path (persists per-batch "
+                         "summaries + sampled estimates instead of full "
+                         "H_EST shards)")
 
     sw = sub.add_parser("sweep", help="mesh-shape scaling sweep")
     sw.add_argument("--batch", type=int, default=4096)
@@ -209,11 +215,17 @@ def _cmd_stream(args) -> int:
         jax.config.update("jax_platforms", "cpu")
     from tpu80211.pipeline import stream
 
-    res = stream.run_stream(
-        stream.synthetic_batches(args.batches, args.batch, snr_db=args.snr_db,
-                                 engine=args.engine),
-        out_dir=args.out_dir,
-    )
+    if args.device_gen:
+        res = stream.run_stream_device(
+            args.batches, args.batch, snr_db=args.snr_db,
+            out_dir=args.out_dir,
+        )
+    else:
+        res = stream.run_stream(
+            stream.synthetic_batches(args.batches, args.batch,
+                                     snr_db=args.snr_db, engine=args.engine),
+            out_dir=args.out_dir,
+        )
     print(json.dumps(res))
     return 0
 

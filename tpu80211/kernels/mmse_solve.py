@@ -60,8 +60,14 @@ from tpu80211 import constants as C
 from tpu80211.cplx import Cplx
 from tpu80211.kernels import on_tpu
 
+import os as _os
+
 N = C.N_SC_PAD      # 64 — padded system size
-LANES = 128         # matrices solved per grid step (one per VPU lane)
+# matrices solved per grid step.  128 = one per VPU lane; multiples of 128
+# interleave several independent dependency chains per step, hiding the
+# op latency of the inherently-sequential panel column chain (measured
+# on-chip: the 56-column chain costs ~0.84 ms/step at 128 lanes).
+LANES = int(_os.environ.get("TPU80211_SOLVE_LANES", "128"))
 K = 8               # panel width for the blocked factorizations
 
 # Panels whose first column is past the real 53×53 system touch only the
@@ -94,7 +100,6 @@ def _mac_sum(terms):
     return out
 
 
-import os as _os
 _CHUNK = int(_os.environ.get("TPU80211_RANKK_CHUNK", "32"))
 
 
@@ -288,6 +293,15 @@ def _chol_solve(ar, ai, br, bi):
     trailing-update element-passes from Σp N·R = 14336 to Σp R'² = 5824
     (2.46×) and was measured on-chip as the dominant kernel cost
     (PERF.md "Cost anatomy")."""
+    lcol_blocks, br, bi = _chol_factor_fwd(ar, ai, br, bi)
+    return _chol_back(lcol_blocks, br, bi)
+
+
+def _chol_factor_fwd(ar, ai, br, bi, trailing: bool = True):
+    """Panel-blocked LLᴴ factorization + interleaved forward solve.
+    Returns (per-panel L column blocks, forward-substituted b).
+    ``trailing=False`` skips the rank-K Schur updates — WRONG results,
+    kept as a perf probe isolating the sequential panel chain."""
     # initial working block: rows 0.., cols 0..56 (pad cols 56+ dropped)
     tr, ti = ar[:, :_LAST_COL, :], ai[:, :_LAST_COL, :]
     lcol_blocks = []     # per panel: (N - jlo, K, LANES) L columns (local rows)
@@ -341,6 +355,9 @@ def _chol_solve(ar, ai, br, bi):
 
         width = tr.shape[1]
         if width > K:
+            if not trailing:   # perf probe (see docstring)
+                tr, ti = tr[K:, K:, :], ti[K:, K:, :]
+                continue
             # trailing Schur: A[r,c] -= Σ_k L[r,k]·conj(L[c,k]) for the
             # rows AND cols ≥ the next panel only — conj rows are the
             # transposed below-panel L slice, chunked rank-K MAC
@@ -353,6 +370,10 @@ def _chol_solve(ar, ai, br, bi):
                 [ct_r[k:k + 1] for k in range(K)],
                 [ct_i[k:k + 1] for k in range(K)],
             )
+    return lcol_blocks, br, bi
+
+
+def _chol_back(lcol_blocks, br, bi):
 
     # backward solve Lᴴx = y: x_j = (y_j − Σ_{k>j} conj(L[k,j])·x_k)/d_j,
     # reading columns straight from the per-panel blocks (the full L is
@@ -375,7 +396,10 @@ def _chol_solve(ar, ai, br, bi):
             # sublane-k extraction carries.
             colr = l_r[:, k:k + 1, :]                  # (N - jlo, 1, lanes)
             coli = l_i[:, k:k + 1, :]
-            x3r, x3i = xr[jlo:, None, :], xi[jlo:, None, :]
+            # slice then expand separately: a combined basic+None index
+            # lowers as a gather, which Mosaic rejects
+            x3r = xr[jlo:, :][:, None, :]
+            x3i = xi[jlo:, :][:, None, :]
             sr = jnp.sum(colr * x3r + coli * x3i, axis=0)
             si = jnp.sum(colr * x3i - coli * x3r, axis=0)
             d = l_r[k:k + 1, k, :]                     # real diagonal
@@ -569,6 +593,16 @@ def _solve(method, looped=False):
             _, br, bi = _panel_lu(ar, ai, br, bi)
             return br, bi
         return fwdonly
+    if method == "chol_fwdonly":   # perf probe: chol factor+fwd, no back
+        def chol_fwdonly(ar, ai, br, bi):
+            _, br, bi = _chol_factor_fwd(ar, ai, br, bi)
+            return br, bi
+        return chol_fwdonly
+    if method == "chol_notrail":   # perf probe: WRONG math — panel chain
+        def chol_notrail(ar, ai, br, bi):  # without the rank-K updates
+            blocks, br, bi = _chol_factor_fwd(ar, ai, br, bi, trailing=False)
+            return _chol_back(blocks, br, bi)
+        return chol_notrail
     return _chol_solve if method == "chol" else _gauss_solve
 
 
