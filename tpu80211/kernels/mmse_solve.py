@@ -100,7 +100,10 @@ def _mac_sum(terms):
     return out
 
 
-_CHUNK = int(_os.environ.get("TPU80211_RANKK_CHUNK", "32"))
+# On-chip sweep (PERF.md): 8 → 4.21M chol solves/s, 16 → 3.66M,
+# 32 → 3.49M, 48 → 3.38M.  Smaller chunks win monotonically — per-term
+# temporaries stay one sublane group wide; 8 is the alignment floor.
+_CHUNK = int(_os.environ.get("TPU80211_RANKK_CHUNK", "8"))
 
 
 def _rank_k_update(t_r, t_i, l_r, l_i, u_r, u_i, chunk=None):
@@ -606,6 +609,12 @@ def _solve(method, looped=False):
     return _chol_solve if method == "chol" else _gauss_solve
 
 
+# number of independent 128-lane sub-solves per kernel invocation: >1
+# gives Mosaic's scheduler independent dependency chains to interleave
+# (ILP across sub-solves) at the cost of SPLIT× the VMEM temporaries
+_SPLIT = int(_os.environ.get("TPU80211_SOLVE_SPLIT", "1"))
+
+
 def _fused_kernel(ur, ui, rr, ri, ow2_ref, zr, zi, *, method="gauss"):
     """One grid step: build σ²I + u·uᴴ and solve for `LANES` systems.
 
@@ -613,10 +622,13 @@ def _fused_kernel(ur, ui, rr, ri, ow2_ref, zr, zi, *, method="gauss"):
     Lane l carries an independent system.  ``method``: "gauss" (default,
     no-pivot elimination) or "chol" (LLᴴ — BASELINE.json's named solve).
     """
-    ar, ai = _rank1_system(ur[:], ui[:], ow2_ref[0, :])
-    xr, xi = _solve(method)(ar, ai, rr[:], ri[:])
-    zr[:] = xr
-    zi[:] = xi
+    sub = LANES // _SPLIT
+    for s in range(_SPLIT):
+        lo, hi = s * sub, (s + 1) * sub
+        ar, ai = _rank1_system(ur[:, lo:hi], ui[:, lo:hi], ow2_ref[0, lo:hi])
+        xr, xi = _solve(method)(ar, ai, rr[:, lo:hi], ri[:, lo:hi])
+        zr[:, lo:hi] = xr
+        zi[:, lo:hi] = xi
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "method"))
