@@ -36,8 +36,9 @@ from tpu80211.pipeline import stream
 def main():
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 32768
     n = int(sys.argv[2]) if len(sys.argv) > 2 else 24
+    gen = sys.argv[3] if len(sys.argv) > 3 else "kernel"
 
-    step, state0 = stream.make_device_stream_step(batch)
+    step, state0 = stream.make_device_stream_step(batch, gen=gen)
     # warmup (compile + readback path)
     summary, sample_h, state = step(0, state0)
     jax.block_until_ready(sample_h.re)
@@ -61,6 +62,7 @@ def main():
     out = {
         "metric": "device-resident streamed system (generate + fused chain "
                   "+ summaries) frames/s, serialized",
+        "generator": gen,
         "frames_per_s": round(batch * n / dt, 1),
         "ms_per_batch": round(1e3 * dt / n, 4),
         "batch": batch,

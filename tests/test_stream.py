@@ -76,6 +76,41 @@ def test_device_stream_steps_are_chained():
     np.testing.assert_array_equal(np.asarray(h2.re), np.asarray(h2c.re))
 
 
+def test_gen_chain_contract(capture):
+    """fused_gen_chain (CPU fallback twin): output contract, estimator
+    statistics at SNR 35, σ̂² unbiasedness, determinism, seed
+    sensitivity.  The Pallas kernel itself is validated on-chip with the
+    same checks (PERF.md 'Generative kernel')."""
+    import jax.numpy as jnp
+
+    from tpu80211.cplx import Cplx
+    from tpu80211.kernels.fused_chain import tx_spectra
+    from tpu80211.kernels.gen_chain import fused_gen_chain
+
+    txs, tpre = tx_spectra(
+        Cplx.from_complex(capture.tx_packet),
+        Cplx.from_complex(capture.tx_lptot),
+    )
+    out = fused_gen_chain(jnp.int32(7), 256, txs, tpre, snr_db=35.0)
+    h = out["h_true"].to_complex()
+    assert out["eq"].shape == (C.N_BLOCKS, C.N_SC, 256)
+    for name, bound_db in (("h_lt", -12.0), ("h_mmse", -12.0),
+                           ("h_wiener", -5.0)):
+        e = out[name].to_complex()
+        nmse = 10 * np.log10(np.sum(np.abs(e - h) ** 2)
+                             / np.sum(np.abs(h) ** 2))
+        assert nmse < bound_db, (name, nmse)
+    ow2 = float(np.mean(np.asarray(out["ow2"])))
+    target = 10 ** (-3.5) / 64
+    assert abs(ow2 - target) / target < 0.2
+    out2 = fused_gen_chain(jnp.int32(7), 256, txs, tpre, snr_db=35.0)
+    np.testing.assert_array_equal(np.asarray(out["h_mmse"].re),
+                                  np.asarray(out2["h_mmse"].re))
+    out3 = fused_gen_chain(jnp.int32(8), 256, txs, tpre, snr_db=35.0)
+    assert not np.array_equal(np.asarray(out["h_mmse"].re),
+                              np.asarray(out3["h_mmse"].re))
+
+
 def test_plots(tmp_path, capture):
     from tpu80211.utils.plots import plot_cfr
     import jax.numpy as jnp

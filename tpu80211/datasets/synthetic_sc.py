@@ -121,17 +121,22 @@ def generate_rx_lane_major(
     nscale = np.sqrt(sigma_t2 / 2.0)
 
     def _noise(k, shape):
+        # generate + scale in f32, store in the packet dtype — noise at
+        # bf16 precision is still noise; halving the HBM footprint of
+        # these (1200+160, B) tensors is what matters at stream rate
         kr, ki = jax.random.split(k)
         return Cplx(
-            jax.random.normal(kr, shape, jnp.float32) * nscale,
-            jax.random.normal(ki, shape, jnp.float32) * nscale,
+            (jax.random.normal(kr, shape, jnp.float32) * nscale).astype(dtype),
+            (jax.random.normal(ki, shape, jnp.float32) * nscale).astype(dtype),
         )
 
-    # data blocks: spec_b = txs[:, b]·H → time (64, B) → [CP | 64]
+    # data blocks: spec_b = txs[:, b]·H → time (64, B) → [CP | 64];
+    # pieces drop to storage dtype immediately so every (1200, B)
+    # intermediate (concat, add) moves dtype-sized bytes, not f32
     pieces = []
     for b in range(C.N_BLOCKS):
         spec = Cplx(txs.re[:, b:b + 1], txs.im[:, b:b + 1]) * h
-        t = _idft_cols(spec)
+        t = _idft_cols(spec).astype(dtype)
         pieces.append(Cplx(t.re[-C.N_CP:], t.im[-C.N_CP:]))
         pieces.append(t)
     pkt = Cplx(
@@ -143,7 +148,7 @@ def generate_rx_lane_major(
     # long preamble: LTS·H → 64-sample symbol, layout [last 32 | rep | rep]
     # (synthetic.synthesize_preamble_time), independent noise per sample —
     # the repeat difference reads back exactly σ_t² in expectation
-    t64 = _idft_cols(Cplx(tpre.re, tpre.im) * h)
+    t64 = _idft_cols(Cplx(tpre.re, tpre.im) * h).astype(dtype)
     lp = Cplx(
         jnp.concatenate([t64.re[-32:], t64.re, t64.re], axis=0),
         jnp.concatenate([t64.im[-32:], t64.im, t64.im], axis=0),

@@ -165,7 +165,8 @@ _STREAM_ESTS = ("h_lt", "h_linear", "h_cubic", "h_sinc", "h_spline",
 
 def make_device_stream_step(
     batch: int, seed: int = 0, snr_db: float = 20.0, dtype=None,
-    sample: int = 128, sync: bool = False,
+    sample: int = 128, sync: bool = False, prng: str = "rbg",
+    gen: str = "kernel",
 ):
     """Build the device-resident streamed step: generation + fused chain
     entirely on-TPU (VERDICT round-2 weak#6 — the host generator capped
@@ -177,6 +178,13 @@ def make_device_stream_step(
     the reference's own replayed-frame methodology, inputs.h); per frame
     a fresh channel-'A'-like CFR + AWGN at ``snr_db`` is synthesized by
     datasets/synthetic_sc.py in the kernel's lane-major layout.
+
+    ``gen`` selects the generator: "kernel" (default — frames drawn by
+    the hardware PRNG *inside* the fused generative kernel,
+    kernels/gen_chain.py: zero input HBM traffic, the chain runs
+    frequency-native) or "xla" (datasets/synthetic_sc.py time-domain
+    generation feeding the tx-const packet kernel — the path that also
+    exercises the front end).
 
     Returns ``(step, state0)``: ``step(i, state) -> (summary, sample_h,
     state)`` jitted; ``state`` is a device scalar derived from the
@@ -202,16 +210,30 @@ def make_device_stream_step(
     txs, tpre = tx_spectra(
         Cplx.from_complex(cap.tx_packet), Cplx.from_complex(cap.tx_lptot)
     )
-    base_key = jax.random.PRNGKey(seed)
+    # "rbg" = XLA RngBitGenerator — ~an order of magnitude cheaper than
+    # threefry for the ~90M random bits each batch needs on TPU; the
+    # stream is synthetic benchmark data, not cryptography
+    base_key = jax.random.key(seed, impl=prng)
 
     @jax.jit
     def step(i, state):
-        key = jax.random.fold_in(base_key, i)
-        key = jax.random.fold_in(key, state)  # serializing data dependence
-        pkt, lp, h = synthetic_sc.generate_rx_lane_major(
-            key, batch, txs, tpre, snr_db=snr_db, dtype=dtype
-        )
-        out = fused_rx_chain_txconst(txs, tpre, pkt, lp, sync=sync)
+        if gen == "kernel":
+            from tpu80211.kernels.gen_chain import fused_gen_chain
+
+            # mix (run seed, batch index, carried state) into the kernel
+            # seed — the state term is the serializing data dependence
+            kseed = (jnp.asarray(seed + i * 65537, jnp.int32)
+                     + state * jnp.asarray(2654435761 % (2 ** 31), jnp.int32))
+            out = fused_gen_chain(kseed, batch, txs, tpre, snr_db=snr_db,
+                                  eq_dtype=dtype)
+            h = out["h_true"]
+        else:
+            key = jax.random.fold_in(base_key, i)
+            key = jax.random.fold_in(key, state)  # serializing dependence
+            pkt, lp, h = synthetic_sc.generate_rx_lane_major(
+                key, batch, txs, tpre, snr_db=snr_db, dtype=dtype
+            )
+            out = fused_rx_chain_txconst(txs, tpre, pkt, lp, sync=sync)
         hp2 = jnp.sum(h.abs2())
         summary = {}
         for name in _STREAM_ESTS:
@@ -229,6 +251,7 @@ def make_device_stream_step(
 def run_stream_device(
     n_batches: int, batch: int, seed: int = 0, snr_db: float = 20.0,
     out_dir: str | None = None, resume: bool = True, sample: int = 128,
+    gen: str = "kernel",
 ) -> dict:
     """Drive the device-resident stream for ``n_batches`` batches,
     persisting per-batch summaries + sampled MMSE estimates.
@@ -238,7 +261,8 @@ def run_stream_device(
     latency overlaps the next batch's compute."""
     import time as _time
 
-    step, state = make_device_stream_step(batch, seed, snr_db, sample=sample)
+    step, state = make_device_stream_step(batch, seed, snr_db, sample=sample,
+                                          gen=gen)
     sink = _Sink(out_dir, resume)
     t0 = _time.perf_counter()
     pending = None
