@@ -82,6 +82,35 @@ def _row_mask(n, row):
     return jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0) == row
 
 
+@functools.lru_cache(maxsize=None)
+def _ln_poly() -> tuple[float, ...]:
+    """Degree-5 polynomial coefficients (highest first) fitting ln on
+    [1, 2]; max abs error ~3e-7 — far below what noise synthesis needs."""
+    x = np.linspace(1.0, 2.0, 4097)
+    return tuple(float(c) for c in np.polyfit(x, np.log(x), 5))
+
+
+def _fast_log(u):
+    """ln(u) for f32 u > 0 via exponent extraction + mantissa polynomial.
+
+    Mosaic's jnp.log lowering costs ~0.6 µs/element on this chip
+    (measured: it alone made the generative kernel 25× slower than the
+    whole chain).  ln(u) = (E−127)·ln2 + ln(1.m) with ln on [1,2) as a
+    5th-degree polynomial is ~10 cheap VPU ops."""
+    f32 = jnp.float32
+    bi = pltpu.bitcast(u, jnp.int32)
+    e = jnp.bitwise_and(jax.lax.shift_right_logical(bi, 23), 0xFF)
+    ef = e.astype(f32) - 127.0
+    m = pltpu.bitcast(
+        jnp.bitwise_or(jnp.bitwise_and(bi, 0x7FFFFF), 0x3F800000), f32
+    )
+    cs = _ln_poly()
+    p = jnp.full(m.shape, np.float32(cs[0]))
+    for c in cs[1:]:
+        p = p * m + np.float32(c)
+    return p + ef * np.float32(np.log(2.0))
+
+
 def _gen_kernel(txs_r, txs_i, tpc_r, tpc_i, wcr_ref, wci_ref,
                 winre_ref, winim_ref, seed_ref,
                 hlt_r, hlt_i, hlin_r, hlin_i, hcub_r, hcub_i,
@@ -111,7 +140,20 @@ def _gen_kernel(txs_r, txs_i, tpc_r, tpc_i, wcr_ref, wci_ref,
         if _probe == "uniform":        # perf probe: PRNG, no Box-Muller
             s = np.float32(np.sqrt(12.0))
             return (u1 - 0.5) * s, (u2 - 0.5) * s
-        r = jnp.sqrt(-2.0 * jnp.log(u1))
+        if _probe == "nolog":          # perf probe: trig only
+            th = _TWO_PI * u2
+            return jnp.cos(th), jnp.sin(th)
+        if _probe == "nocos":          # perf probe: log/sqrt only
+            r = jnp.sqrt(-2.0 * jnp.log(u1))
+            s = np.float32(np.sqrt(12.0))
+            return r * (u2 - 0.5) * s, r * (u1 - 0.5) * s
+        if _probe == "jnplog":         # perf probe: Mosaic's native log
+            r = jnp.sqrt(-2.0 * jnp.log(u1))
+        else:
+            # clamp: the polynomial's ~2e-5 error can push ln(u) just
+            # above 0 for u ≈ 1, and sqrt of that tiny negative is a NaN
+            # that a later global reduction would propagate everywhere
+            r = jnp.sqrt(jnp.maximum(-2.0 * _fast_log(u1), 0.0))
         th = _TWO_PI * u2
         return r * jnp.cos(th), r * jnp.sin(th)
 
