@@ -34,10 +34,13 @@ KINDS = ("linear", "cubic", "sinc", "spline", "wiener")
 DEFAULT_SNRS = (0.0, 5.0, 10.0, 15.0, 20.0, 25.0, 30.0, 35.0, 40.0)
 
 
-def quality_point(snr_db: float, batch: int = 512, seed: int = 0) -> dict:
-    """One SNR point: {estimator: {nmse_db, evm_rms, ber}} + metadata."""
+def quality_point(snr_db: float, batch: int = 512, seed: int = 0,
+                  channel_model: str | None = None) -> dict:
+    """One SNR point: {estimator: {nmse_db, evm_rms, ber}} + metadata.
+    ``channel_model`` ∈ {None, 'A'..'E'} (ops/channel.py — WiFi_RX.m:6)."""
     fb = synthetic.generate(
-        jax.random.PRNGKey(seed), batch, snr_db=snr_db, dtype=jnp.complex64
+        jax.random.PRNGKey(seed), batch, snr_db=snr_db, dtype=jnp.complex64,
+        channel_model=channel_model,
     )
     txb, rxb = fb.tx_symb, fb.rx_symb
     h_lt = lt_ls(fb.tx_preamble_fft, fb.rx_preamble_fft)
@@ -47,7 +50,8 @@ def quality_point(snr_db: float, batch: int = 512, seed: int = 0) -> dict:
         ests[f"ps_{kind}"] = ps_interp(txb, rxb, kind)
     ests["ps_mmse"] = ps_mmse(txb, rxb, fb.ow2, h_lt)
 
-    row = {"snr_db": float(snr_db), "batch": int(batch), "estimators": {}}
+    row = {"snr_db": float(snr_db), "batch": int(batch),
+           "channel_model": channel_model, "estimators": {}}
     for name, h in ests.items():
         eq = equalize(rxb, h_lt, h)
         row["estimators"][name] = {
@@ -59,9 +63,11 @@ def quality_point(snr_db: float, batch: int = 512, seed: int = 0) -> dict:
 
 
 def quality_sweep(
-    snrs: Sequence[float] = DEFAULT_SNRS, batch: int = 512, seed: int = 0
+    snrs: Sequence[float] = DEFAULT_SNRS, batch: int = 512, seed: int = 0,
+    channel_model: str | None = None,
 ) -> list[dict]:
-    return [quality_point(s, batch=batch, seed=seed + i)
+    return [quality_point(s, batch=batch, seed=seed + i,
+                          channel_model=channel_model)
             for i, s in enumerate(snrs)]
 
 

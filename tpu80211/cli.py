@@ -68,6 +68,9 @@ def _build_parser() -> argparse.ArgumentParser:
                          "chip-rate system path (persists per-batch "
                          "summaries + sampled estimates instead of full "
                          "H_EST shards)")
+    st.add_argument("--channel-model", default=None,
+                    choices=["A", "B", "C", "D", "E"],
+                    help="ETSI BRAN power-delay profile for --device-gen")
 
     sw = sub.add_parser("sweep", help="mesh-shape scaling sweep")
     sw.add_argument("--batch", type=int, default=4096)
@@ -103,6 +106,11 @@ def _build_parser() -> argparse.ArgumentParser:
                     help="also sweep the fused whole-chain Pallas kernel at "
                          "this storage dtype (the shipped bench "
                          "configuration) and overlay it in the PNG")
+    qu.add_argument("--channel-model", default=None,
+                    choices=["A", "B", "C", "D", "E"],
+                    help="ETSI BRAN power-delay profile (the reference's "
+                         "WiFi_RX.m:6 parameter; default: the legacy "
+                         "rms-100ns profile)")
 
     sub.add_parser("devices", help="show backend devices")
     return p
@@ -218,7 +226,7 @@ def _cmd_stream(args) -> int:
     if args.device_gen:
         res = stream.run_stream_device(
             args.batches, args.batch, snr_db=args.snr_db,
-            out_dir=args.out_dir,
+            out_dir=args.out_dir, channel_model=args.channel_model,
         )
     else:
         res = stream.run_stream(
@@ -336,7 +344,8 @@ def _cmd_quality(args) -> int:
     from tpu80211.bench import quality
 
     snrs = [float(s) for s in args.snrs.split(",") if s.strip()]
-    rows = quality.quality_sweep(snrs, batch=args.batch)
+    rows = quality.quality_sweep(snrs, batch=args.batch,
+                                 channel_model=args.channel_model)
     for row in rows:
         print(json.dumps(row))
     fused_rows = None

@@ -48,18 +48,19 @@ class FrameBatch(NamedTuple):
     h_true: jnp.ndarray           # (B, 53) ground-truth CFR (for MSE metrics)
 
 
-def _channel_taps(key, batch, n_taps=8, rms_spread=2.0):
+def _channel_taps(key, batch, channel_model=None, sample_rate_hz=20e6):
     """Exponential power-delay-profile FIR taps, (B, n_taps) complex.
 
-    Channel-model-'A'-like: tap k has power ∝ exp(−k/rms_spread),
-    normalized to unit total power (cf. WiFi_RX.m:6 'channel = A').
-    """
-    p = np.exp(-np.arange(n_taps) / rms_spread)
-    p = p / p.sum()
+    ``channel_model`` ∈ {None, 'A'..'E'} selects the ETSI BRAN profile
+    (ops/channel.py — the reference's WiFi_RX.m:6 parameter surface);
+    None keeps the legacy 8-tap rms-2.0-sample profile."""
+    from tpu80211.ops import channel
+
+    p = channel.pdp(channel_model, sample_rate_hz)
     kr, ki = jax.random.split(key)
     scale = jnp.asarray(np.sqrt(p / 2.0), jnp.float32)
-    re = jax.random.normal(kr, (batch, n_taps), jnp.float32) * scale
-    im = jax.random.normal(ki, (batch, n_taps), jnp.float32) * scale
+    re = jax.random.normal(kr, (batch, p.size), jnp.float32) * scale
+    im = jax.random.normal(ki, (batch, p.size), jnp.float32) * scale
     return re + 1j * im
 
 
@@ -92,6 +93,7 @@ def _lts_spectrum() -> np.ndarray:
 def generate(
     key, batch: int, snr_db: float = 40.0, dtype=jnp.complex64,
     fo_hz: float = 0.0, sample_rate_hz: float = 20e6,
+    channel_model: str | None = None,
 ) -> FrameBatch:
     """Generate a FrameBatch of ``batch`` random frames at ``snr_db``.
 
@@ -100,11 +102,14 @@ def generate(
     CFO appears as a common per-block phase rotation of
     exp(2πi·fo·80·b/fs) (one OFDM symbol = 80 samples) plus ICI, of which
     the rotation is the dominant term at 20 kHz/20 MHz; only the rotation
-    is modeled.
+    is modeled.  ``channel_model`` ∈ {None, 'A'..'E'}: the ETSI BRAN
+    power-delay profile (ops/channel.py; the WiFi_RX.m:6 parameter).
     """
     k_ch, k_data, k_n1, k_n2, k_n3 = jax.random.split(key, 5)
 
-    h = _cfr_from_taps(_channel_taps(k_ch, batch)).astype(dtype)  # (B, 53)
+    h = _cfr_from_taps(
+        _channel_taps(k_ch, batch, channel_model, sample_rate_hz)
+    ).astype(dtype)  # (B, 53)
 
     # tx data: QPSK on all used bins, pilots fixed +1, DC 0
     bits = jax.random.bernoulli(k_data, 0.5, (batch, C.N_BLOCKS, C.N_SC, 2))

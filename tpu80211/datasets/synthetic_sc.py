@@ -49,9 +49,9 @@ RMS_SPREAD = 2.0
 
 
 @functools.lru_cache(maxsize=None)
-def _synth_mats():
+def _synth_mats(n_taps: int = N_TAPS):
     """Constant matrices: IDFT (64, 53) right-inverse of the extraction
-    matrix, and the taps→CFR evaluation matrix (8, 53).
+    matrix, and the taps→CFR evaluation matrix (n_taps, 53).
 
     Cached as NUMPY — callers jnp.asarray at use so nothing traced is
     ever cached (an lru-cached jnp array created inside a jit trace leaks
@@ -60,9 +60,9 @@ def _synth_mats():
     # time = (1/64)·conj(W) @ spec  (WᵀA = 64·δ — see synthetic.synthesize_time)
     a_re = np.asarray(wre, np.float32) / C.N_FFT
     a_im = -np.asarray(wim, np.float32) / C.N_FFT
-    # CFR on the shifted 53-bin grid from N_TAPS FIR taps
+    # CFR on the shifted 53-bin grid from n_taps FIR taps
     k = (np.arange(C.N_SC) - C.FFT_SHIFT) % C.N_FFT
-    n = np.arange(N_TAPS)
+    n = np.arange(n_taps)
     w = np.exp(-2j * np.pi * np.outer(n, k) / C.N_FFT)  # (taps, 53)
     return (
         a_re, a_im,
@@ -84,15 +84,17 @@ def _idft_cols(spec: Cplx) -> Cplx:
     return Cplx(re, im)
 
 
-def channel_cfr(key, batch: int) -> Cplx:
-    """(53, B) per-frame CFR from exponential-PDP taps (lane-major)."""
-    _, _, w_re, w_im = map(jnp.asarray, _synth_mats())
-    p = np.exp(-np.arange(N_TAPS) / RMS_SPREAD)
-    p = p / p.sum()
+def channel_cfr(key, batch: int, channel_model: str | None = None) -> Cplx:
+    """(53, B) per-frame CFR from exponential-PDP taps (lane-major).
+    ``channel_model`` ∈ {None, 'A'..'E'} (ops/channel.py)."""
+    from tpu80211.ops import channel
+
+    p = channel.pdp(channel_model)
+    _, _, w_re, w_im = map(jnp.asarray, _synth_mats(p.size))
     scale = jnp.asarray(np.sqrt(p / 2.0), jnp.float32)[:, None]
     kr, ki = jax.random.split(key)
-    t_re = jax.random.normal(kr, (N_TAPS, batch), jnp.float32) * scale
-    t_im = jax.random.normal(ki, (N_TAPS, batch), jnp.float32) * scale
+    t_re = jax.random.normal(kr, (p.size, batch), jnp.float32) * scale
+    t_im = jax.random.normal(ki, (p.size, batch), jnp.float32) * scale
     f32 = jnp.float32
     re = jnp.matmul(w_re.T, t_re, preferred_element_type=f32) - jnp.matmul(
         w_im.T, t_im, preferred_element_type=f32
@@ -106,16 +108,18 @@ def channel_cfr(key, batch: int) -> Cplx:
 def generate_rx_lane_major(
     key, batch: int, txs: Cplx, tpre: Cplx,
     snr_db: float = 20.0, dtype=jnp.bfloat16,
+    channel_model: str | None = None,
 ):
     """Synthesize one lane-major rx batch through a fresh channel.
 
     txs: (53, 16) tx block spectra (cols 0..14 valid), tpre: (53, 1) —
     the precomputed constants from kernels.fused_chain.tx_spectra.
+    ``channel_model`` ∈ {None, 'A'..'E'} (ops/channel.py).
     Returns (rx_pkt (1200, B) Cplx, rx_lp (160, B) Cplx, h (53, B) Cplx)
     with packet/preamble planes in ``dtype`` storage and h in f32.
     """
     k_ch, k_np, k_nl = jax.random.split(key, 3)
-    h = channel_cfr(k_ch, batch)                       # (53, B) f32
+    h = channel_cfr(k_ch, batch, channel_model)        # (53, B) f32
 
     sigma_t2 = (10.0 ** (-snr_db / 10.0)) / C.N_FFT
     nscale = np.sqrt(sigma_t2 / 2.0)

@@ -61,18 +61,19 @@ _TWO_PI = 2.0 * np.pi
 
 
 @functools.lru_cache(maxsize=None)
-def _pdp_scale() -> np.ndarray:
-    """(N_TAPS, 1) per-tap normal scale sqrt(p_l / 2), exponential PDP."""
-    p = np.exp(-np.arange(N_TAPS) / RMS_SPREAD)
-    p = p / p.sum()
+def _pdp_scale(model: str | None = None) -> np.ndarray:
+    """(n_taps, 1) per-tap normal scale sqrt(p_l / 2), exponential PDP."""
+    from tpu80211.ops import channel
+
+    p = channel.pdp(model)
     return np.sqrt(p / 2.0).astype(np.float32)[:, None]
 
 
 @functools.lru_cache(maxsize=None)
-def _cfr_mats() -> tuple[np.ndarray, np.ndarray]:
-    """(53, N_TAPS) taps→CFR evaluation matrix, split planes (numpy)."""
+def _cfr_mats(n_taps: int = N_TAPS) -> tuple[np.ndarray, np.ndarray]:
+    """(53, n_taps) taps→CFR evaluation matrix, split planes (numpy)."""
     k = (np.arange(C.N_SC) - C.FFT_SHIFT) % C.N_FFT
-    n = np.arange(N_TAPS)
+    n = np.arange(n_taps)
     w = np.exp(-2j * np.pi * np.outer(k, n) / C.N_FFT)  # (53, taps)
     return (np.ascontiguousarray(w.real, np.float32),
             np.ascontiguousarray(w.imag, np.float32))
@@ -116,7 +117,8 @@ def _gen_kernel(txs_r, txs_i, tpc_r, tpc_i, wcr_ref, wci_ref,
                 hlt_r, hlt_i, hlin_r, hlin_i, hcub_r, hcub_i,
                 hsin_r, hsin_i, hspl_r, hspl_i, hwie_r, hwie_i,
                 hmmse_r, hmmse_i, eq_r, eq_i, ow2_out,
-                htr_out, hti_out, chk_out, *, snr_db: float):
+                htr_out, hti_out, chk_out, *, snr_db: float,
+                rms: float = RMS_SPREAD, n_taps: int = N_TAPS):
     f32 = jnp.float32
     pltpu.prng_seed(seed_ref[0, 0], pl.program_id(0))
 
@@ -160,10 +162,10 @@ def _gen_kernel(txs_r, txs_i, tpc_r, tpc_i, wcr_ref, wci_ref,
     # -- channel: taps → CFR on the MXU --------------------------------------
     # per-tap scale sqrt(p_l/2) built from an iota (kernels cannot capture
     # array constants); the PDP normalizer is a Python float
-    l_idx = jax.lax.broadcasted_iota(jnp.int32, (N_TAPS, 1), 0).astype(f32)
-    psum = float(np.exp(-np.arange(N_TAPS) / RMS_SPREAD).sum())
-    tscale = jnp.sqrt(jnp.exp(-l_idx / RMS_SPREAD) / (2.0 * psum))
-    t_re, t_im = normals(N_TAPS)
+    l_idx = jax.lax.broadcasted_iota(jnp.int32, (n_taps, 1), 0).astype(f32)
+    psum = float(np.exp(-np.arange(n_taps) / rms).sum())
+    tscale = jnp.sqrt(jnp.exp(-l_idx / rms) / (2.0 * psum))
+    t_re, t_im = normals(n_taps)
     t_re = t_re * tscale
     t_im = t_im * tscale
     wcr = wcr_ref[:]                                   # (53, N_TAPS)
@@ -296,9 +298,15 @@ _OUT_NAMES = ("h_lt", "h_linear", "h_cubic", "h_sinc", "h_spline",
               "h_wiener", "h_mmse")
 
 
-@functools.partial(jax.jit, static_argnames=("batch", "snr_db", "eq_dtype"))
-def _gen_call(txs_r, txs_i, tpc_r, tpc_i, seed, batch, snr_db, eq_dtype):
+@functools.partial(jax.jit, static_argnames=("batch", "snr_db", "eq_dtype",
+                                             "channel_model"))
+def _gen_call(txs_r, txs_i, tpc_r, tpc_i, seed, batch, snr_db, eq_dtype,
+              channel_model=None):
+    from tpu80211.ops import channel
+
     ntile = batch // LANES
+    rms = channel.rms_samples(channel_model)
+    n_taps = channel.n_taps_for(channel_model)
 
     def vspec(dim):
         return pl.BlockSpec((dim, LANES), lambda i: (0, i),
@@ -308,13 +316,13 @@ def _gen_call(txs_r, txs_i, tpc_r, tpc_i, seed, batch, snr_db, eq_dtype):
                          memory_space=pltpu.VMEM)
     pspec = pl.BlockSpec((C.N_SC, 1), lambda i: (0, 0),
                          memory_space=pltpu.VMEM)
-    cspec = pl.BlockSpec((C.N_SC, N_TAPS), lambda i: (0, 0),
+    cspec = pl.BlockSpec((C.N_SC, n_taps), lambda i: (0, 0),
                          memory_space=pltpu.VMEM)
     wispec = pl.BlockSpec((len(INTERP_KINDS), C.N_SC, 4), lambda i: (0, 0, 0),
                           memory_space=pltpu.VMEM)
     sspec = pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
 
-    wcr, wci = _cfr_mats()
+    wcr, wci = _cfr_mats(n_taps)
     wstack = np.stack([interp_matrix(k).T for k in INTERP_KINDS])
     out_specs = (
         [vspec(C.N_SC)] * 14
@@ -332,7 +340,8 @@ def _gen_call(txs_r, txs_i, tpc_r, tpc_i, seed, batch, snr_db, eq_dtype):
         + [jax.ShapeDtypeStruct((1, batch), jnp.float32)]
     )
     return pl.pallas_call(
-        functools.partial(_gen_kernel, snr_db=snr_db),
+        functools.partial(_gen_kernel, snr_db=snr_db, rms=float(rms),
+                          n_taps=n_taps),
         grid=(ntile,),
         in_specs=[tspec, tspec, pspec, pspec, cspec, cspec, wispec, wispec,
                   sspec],
@@ -360,26 +369,33 @@ def _pack(outs):
 
 
 def fused_gen_chain(seed, batch: int, txs: Cplx, tpre: Cplx,
-                    snr_db: float = 20.0, eq_dtype=jnp.bfloat16):
+                    snr_db: float = 20.0, eq_dtype=jnp.bfloat16,
+                    channel_model: str | None = None):
     """Generate ``batch`` frames in-kernel and run the full chain.
 
     seed: int32 scalar (traced OK) — deterministic stream per (seed, tile).
     txs: (53, 16) tx block spectra; tpre: (53, 1) (see
-    kernels.fused_chain.tx_spectra).  Returns the lane-major output dict
-    of fused_rx_chain_txconst plus ``h_true`` (53, B) Cplx.
+    kernels.fused_chain.tx_spectra).  ``channel_model`` ∈ {None, 'A'..'E'}
+    selects the ETSI power-delay profile (ops/channel.py).  Returns the
+    lane-major output dict of fused_rx_chain_txconst plus ``h_true``
+    (53, B) Cplx.
     """
     assert batch % LANES == 0, (batch, LANES)
     assert txs.shape == (C.N_SC, NB_PAD), txs.shape
     assert tpre.shape == (C.N_SC, 1), tpre.shape
     if not on_tpu():
-        return _gen_chain_jax(seed, batch, txs, tpre, snr_db, eq_dtype)
+        return _gen_chain_jax(seed, batch, txs, tpre, snr_db, eq_dtype,
+                              channel_model)
     outs = _gen_call(txs.re, txs.im, tpre.re, tpre.im, seed,
-                     batch=batch, snr_db=float(snr_db), eq_dtype=eq_dtype)
+                     batch=batch, snr_db=float(snr_db), eq_dtype=eq_dtype,
+                     channel_model=channel_model)
     return _pack(outs)
 
 
-@functools.partial(jax.jit, static_argnames=("batch", "snr_db", "eq_dtype"))
-def _gen_chain_jax(seed, batch, txs, tpre, snr_db, eq_dtype):
+@functools.partial(jax.jit, static_argnames=("batch", "snr_db", "eq_dtype",
+                                             "channel_model"))
+def _gen_chain_jax(seed, batch, txs, tpre, snr_db, eq_dtype,
+                   channel_model=None):
     """Plain-JAX twin for non-TPU backends: same distributions and chain
     math (different PRNG bit streams).  Frequency-domain, lane-major."""
     from tpu80211.pipeline import sc
@@ -387,9 +403,9 @@ def _gen_chain_jax(seed, batch, txs, tpre, snr_db, eq_dtype):
     key = jax.random.fold_in(jax.random.PRNGKey(0), jnp.asarray(seed, jnp.int32))
     k_t, k_n = jax.random.split(key)
 
-    tscale = jnp.asarray(_pdp_scale())
-    tn = jax.random.normal(k_t, (2, N_TAPS, batch), jnp.float32)
-    wcr, wci = _cfr_mats()
+    tscale = jnp.asarray(_pdp_scale(channel_model))
+    tn = jax.random.normal(k_t, (2, tscale.shape[0], batch), jnp.float32)
+    wcr, wci = _cfr_mats(tscale.shape[0])
     wcr = jnp.asarray(wcr)
     wci = jnp.asarray(wci)
     t_re = tn[0] * tscale
