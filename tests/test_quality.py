@@ -61,3 +61,42 @@ def test_wiener_interp_quality():
     rel = np.abs(np.asarray(got) - np.asarray(h_wiener)).max()
     rel /= np.abs(np.asarray(h_wiener)).max()
     assert rel < 1e-5, rel
+
+
+def test_mqam_modulation_and_ber():
+    """M-QAM synthetic frames + Gray-coded BER: unit constellation power,
+    zero BER at very high SNR, and BER ordering qam64 > qam16 > qpsk at a
+    moderate SNR."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tpu80211 import constants as C
+    from tpu80211.datasets import synthetic
+    from tpu80211.models import lt_ls
+    from tpu80211.ops import equalize
+    from tpu80211.utils import metrics
+
+    # constellation sanity
+    for m in (4, 16, 64):
+        lv = metrics.pam_levels(m) if m > 4 else np.array([-1, 1]) / np.sqrt(2)
+        power = 2 * np.mean(lv**2)
+        assert abs(power - 1.0) < 1e-12, (m, power)
+
+    def ber_at(mod, snr):
+        fb = synthetic.generate(jax.random.PRNGKey(3), 128, snr_db=snr,
+                                modulation=mod)
+        h_lt = lt_ls(fb.tx_preamble_fft, fb.rx_preamble_fft)
+        eq = equalize(fb.rx_symb, h_lt, h_lt)
+        m = {"qpsk": 4, "qam16": 16, "qam64": 64}[mod]
+        # tx symbols decode exactly against themselves (metric sanity)
+        assert metrics.qam_ber(fb.tx_symb, fb.tx_symb, m) == 0.0
+        return metrics.qam_ber(eq, fb.tx_symb, m)
+
+    # near-noiseless: all constellations decode through the estimator
+    assert ber_at("qam64", 60.0) < 1e-3
+    # moderate SNR: denser constellations are strictly harder
+    b4 = ber_at("qpsk", 18.0)
+    b16 = ber_at("qam16", 18.0)
+    b64 = ber_at("qam64", 18.0)
+    assert b4 < b16 < b64, (b4, b16, b64)

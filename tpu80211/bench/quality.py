@@ -35,12 +35,14 @@ DEFAULT_SNRS = (0.0, 5.0, 10.0, 15.0, 20.0, 25.0, 30.0, 35.0, 40.0)
 
 
 def quality_point(snr_db: float, batch: int = 512, seed: int = 0,
-                  channel_model: str | None = None) -> dict:
+                  channel_model: str | None = None,
+                  modulation: str = "qpsk") -> dict:
     """One SNR point: {estimator: {nmse_db, evm_rms, ber}} + metadata.
-    ``channel_model`` ∈ {None, 'A'..'E'} (ops/channel.py — WiFi_RX.m:6)."""
+    ``channel_model`` ∈ {None, 'A'..'E'} (ops/channel.py — WiFi_RX.m:6);
+    ``modulation`` ∈ {"qpsk", "qam16", "qam64"} (Gray-coded BER)."""
     fb = synthetic.generate(
         jax.random.PRNGKey(seed), batch, snr_db=snr_db, dtype=jnp.complex64,
-        channel_model=channel_model,
+        channel_model=channel_model, modulation=modulation,
     )
     txb, rxb = fb.tx_symb, fb.rx_symb
     h_lt = lt_ls(fb.tx_preamble_fft, fb.rx_preamble_fft)
@@ -50,24 +52,26 @@ def quality_point(snr_db: float, batch: int = 512, seed: int = 0,
         ests[f"ps_{kind}"] = ps_interp(txb, rxb, kind)
     ests["ps_mmse"] = ps_mmse(txb, rxb, fb.ow2, h_lt)
 
+    m = {"qpsk": 4, "qam16": 16, "qam64": 64}[modulation]
     row = {"snr_db": float(snr_db), "batch": int(batch),
-           "channel_model": channel_model, "estimators": {}}
+           "channel_model": channel_model, "modulation": modulation,
+           "estimators": {}}
     for name, h in ests.items():
         eq = equalize(rxb, h_lt, h)
         row["estimators"][name] = {
             "nmse_db": round(metrics.cfr_nmse_db(h, fb.h_true), 2),
             "evm_rms": round(metrics.evm_rms(eq, txb), 4),
-            "ber": round(metrics.qpsk_ber(eq, txb), 5),
+            "ber": round(metrics.qam_ber(eq, txb, m), 5),
         }
     return row
 
 
 def quality_sweep(
     snrs: Sequence[float] = DEFAULT_SNRS, batch: int = 512, seed: int = 0,
-    channel_model: str | None = None,
+    channel_model: str | None = None, modulation: str = "qpsk",
 ) -> list[dict]:
     return [quality_point(s, batch=batch, seed=seed + i,
-                          channel_model=channel_model)
+                          channel_model=channel_model, modulation=modulation)
             for i, s in enumerate(snrs)]
 
 

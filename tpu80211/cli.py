@@ -111,6 +111,10 @@ def _build_parser() -> argparse.ArgumentParser:
                     help="ETSI BRAN power-delay profile (the reference's "
                          "WiFi_RX.m:6 parameter; default: the legacy "
                          "rms-100ns profile)")
+    qu.add_argument("--modulation", default="qpsk",
+                    choices=["qpsk", "qam16", "qam64"],
+                    help="data-subcarrier constellation (Gray-coded BER; "
+                         "the reference is QPSK-only)")
 
     sub.add_parser("devices", help="show backend devices")
     return p
@@ -345,7 +349,8 @@ def _cmd_quality(args) -> int:
 
     snrs = [float(s) for s in args.snrs.split(",") if s.strip()]
     rows = quality.quality_sweep(snrs, batch=args.batch,
-                                 channel_model=args.channel_model)
+                                 channel_model=args.channel_model,
+                                 modulation=args.modulation)
     for row in rows:
         print(json.dumps(row))
     fused_rows = None

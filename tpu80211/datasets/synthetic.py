@@ -93,7 +93,7 @@ def _lts_spectrum() -> np.ndarray:
 def generate(
     key, batch: int, snr_db: float = 40.0, dtype=jnp.complex64,
     fo_hz: float = 0.0, sample_rate_hz: float = 20e6,
-    channel_model: str | None = None,
+    channel_model: str | None = None, modulation: str = "qpsk",
 ) -> FrameBatch:
     """Generate a FrameBatch of ``batch`` random frames at ``snr_db``.
 
@@ -104,6 +104,8 @@ def generate(
     the rotation is the dominant term at 20 kHz/20 MHz; only the rotation
     is modeled.  ``channel_model`` ∈ {None, 'A'..'E'}: the ETSI BRAN
     power-delay profile (ops/channel.py; the WiFi_RX.m:6 parameter).
+    ``modulation`` ∈ {"qpsk", "qam16", "qam64"}: data-subcarrier
+    constellation at unit average power (the reference is QPSK-only).
     """
     k_ch, k_data, k_n1, k_n2, k_n3 = jax.random.split(key, 5)
 
@@ -111,14 +113,24 @@ def generate(
         _channel_taps(k_ch, batch, channel_model, sample_rate_hz)
     ).astype(dtype)  # (B, 53)
 
-    # tx data: QPSK on all used bins, pilots fixed +1, DC 0
-    bits = jax.random.bernoulli(k_data, 0.5, (batch, C.N_BLOCKS, C.N_SC, 2))
-    qpsk = ((bits[..., 0] * 2 - 1) + 1j * (bits[..., 1] * 2 - 1)).astype(dtype)
-    qpsk = qpsk / np.sqrt(2.0)
+    # tx data: M-QAM on all used bins, pilots fixed +1, DC 0
+    if modulation == "qpsk":
+        bits = jax.random.bernoulli(k_data, 0.5, (batch, C.N_BLOCKS, C.N_SC, 2))
+        data = ((bits[..., 0] * 2 - 1) + 1j * (bits[..., 1] * 2 - 1)).astype(dtype)
+        data = data / np.sqrt(2.0)
+    else:
+        from tpu80211.utils.metrics import pam_levels
+
+        m = {"qam16": 16, "qam64": 64}[modulation]
+        lv = jnp.asarray(pam_levels(m))
+        ki_, kq_ = jax.random.split(k_data)
+        i_idx = jax.random.randint(ki_, (batch, C.N_BLOCKS, C.N_SC), 0, lv.size)
+        q_idx = jax.random.randint(kq_, (batch, C.N_BLOCKS, C.N_SC), 0, lv.size)
+        data = (lv[i_idx] + 1j * lv[q_idx]).astype(dtype)
     pilot = jnp.asarray(C.PILOT_MASK)
     dc = np.zeros((C.N_SC,), bool)
     dc[C.DC_IDX] = True
-    tx = jnp.where(pilot, jnp.ones((), dtype), qpsk)
+    tx = jnp.where(pilot, jnp.ones((), dtype), data)
     tx = jnp.where(jnp.asarray(dc), jnp.zeros((), dtype), tx)
 
     lts = jnp.asarray(_lts_spectrum(), dtype)

@@ -62,3 +62,46 @@ def qpsk_ber(eq_symbols, tx_symbols) -> float:
         np.sign(eq.imag) != np.sign(tx.imag)
     ).sum()
     return float(errs) / (2 * eq.size)
+
+
+# -- M-QAM (square, Gray-coded) -------------------------------------------------
+# per-axis PAM levels at unit average constellation power, and the Gray
+# code of each level index (adjacent levels differ in one bit)
+
+def pam_levels(m: int) -> np.ndarray:
+    """Per-axis PAM levels of square m-QAM, unit average symbol power.
+    m ∈ {4, 16, 64} → 2/4/8 levels per axis."""
+    k = int(np.sqrt(m))
+    assert k * k == m and k in (2, 4, 8), m
+    lv = np.arange(-(k - 1), k, 2, dtype=np.float64)   # −(k−1)…(k−1) step 2
+    scale = np.sqrt(np.mean(lv**2) * 2.0)              # unit avg power (I+Q)
+    return lv / scale
+
+
+def _gray(idx: np.ndarray) -> np.ndarray:
+    return idx ^ (idx >> 1)
+
+
+def qam_ber(eq_symbols, tx_symbols, m: int = 16) -> float:
+    """Hard-decision Gray-coded square-QAM bit error rate on data
+    subcarriers.  Each axis is an independent Gray-coded PAM: the decided
+    and transmitted level indices are Gray-mapped and differing bits
+    counted — the standard BER definition for square QAM."""
+    if m == 4:
+        return qpsk_ber(eq_symbols, tx_symbols)
+    lv = pam_levels(m)
+    k = lv.size
+    bits_per_axis = int(np.log2(k))
+    edges = (lv[:-1] + lv[1:]) / 2.0
+
+    eq = _as_complex(eq_symbols)[..., _DATA]
+    tx = _as_complex(tx_symbols)[..., _DATA]
+    errs = 0
+    for comp in (np.real, np.imag):
+        di = np.digitize(comp(eq), edges)
+        ti = np.digitize(comp(tx), edges)
+        x = _gray(di.astype(np.int64)) ^ _gray(ti.astype(np.int64))
+        # popcount of the per-symbol XOR
+        for b in range(bits_per_axis):
+            errs += int(((x >> b) & 1).sum())
+    return errs / (2 * bits_per_axis * eq.size)
