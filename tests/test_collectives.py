@@ -72,6 +72,34 @@ def test_dp_path_has_zero_collectives(batch):
         assert f" {name}(" not in hlo and f" {name}-start(" not in hlo, name
 
 
+def test_mesh_device_stream_step(batch):
+    """Multi-chip generative stream (round 3): per-dp-shard in-kernel
+    generation + chain under shard_map, correct statistics, deterministic,
+    and at most the two intended dp all-reduces (packed summary + checksum)
+    in the compiled program — the whole streamed system scales as
+    chips × single-chip minus one scalar reduction per batch."""
+    from tpu80211.pipeline import stream
+
+    mesh = make_mesh(dp=4, blk=1, devices=jax.devices()[:4])
+    step, s0 = stream.make_device_stream_step(512, snr_db=35.0, mesh=mesh)
+    summary, sample_h, st = step(jnp.int32(0), s0)
+    assert float(summary["h_lt_nmse"]) < 0.1
+    assert sample_h.shape == (53, 512)  # 128-sample slices × 4 shards
+    # deterministic per (i, state)
+    s2, h2, _ = step(jnp.int32(0), s0)
+    np.testing.assert_array_equal(np.asarray(sample_h.re), np.asarray(h2.re))
+    # statistics agree with the single-device step (different shard seeds)
+    step1, s1 = stream.make_device_stream_step(512, snr_db=35.0)
+    sm1, _, _ = step1(jnp.int32(0), s1)
+    assert abs(float(summary["h_lt_nmse"]) - float(sm1["h_lt_nmse"])) < 0.05
+    # collective budget: ≤2 dp all-reduces, nothing else
+    hlo = step.lower(jnp.int32(0), s0).compile().as_text()
+    groups = _all_reduce_groups(hlo)
+    assert 1 <= len(groups) <= 2, groups
+    for name in OTHER_COLLECTIVES:
+        assert f" {name}(" not in hlo and f" {name}-start(" not in hlo, name
+
+
 def test_shardmap_path_has_exactly_the_intended_psums(batch):
     dp, blk = 4, 2
     mesh = make_mesh(dp=dp, blk=blk)

@@ -166,7 +166,7 @@ _STREAM_ESTS = ("h_lt", "h_linear", "h_cubic", "h_sinc", "h_spline",
 def make_device_stream_step(
     batch: int, seed: int = 0, snr_db: float = 20.0, dtype=None,
     sample: int = 128, sync: bool = False, prng: str = "rbg",
-    gen: str = "kernel", channel_model: str | None = None,
+    gen: str = "kernel", channel_model: str | None = None, mesh=None,
 ):
     """Build the device-resident streamed step: generation + fused chain
     entirely on-TPU (VERDICT round-2 weak#6 — the host generator capped
@@ -185,6 +185,15 @@ def make_device_stream_step(
     frequency-native) or "xla" (datasets/synthetic_sc.py time-domain
     generation feeding the tx-const packet kernel — the path that also
     exercises the front end).
+
+    ``mesh``: a ('dp', …) Mesh to run the generative stream MULTI-CHIP —
+    the step becomes a shard_map where every dp shard generates and
+    processes ``batch // dp`` frames with its own seed (axis_index folded
+    in), summaries are combined with one ``lax.psum`` over dp, and the
+    sampled estimates concatenate across shards.  Generation is
+    embarrassingly parallel, so this is the whole-system multi-chip
+    story: chips × single-chip throughput with a single scalar
+    all-reduce per batch.  Requires gen="kernel".
 
     Returns ``(step, state0)``: ``step(i, state) -> (summary, sample_h,
     state)`` jitted; ``state`` is a device scalar derived from the
@@ -210,6 +219,13 @@ def make_device_stream_step(
     txs, tpre = tx_spectra(
         Cplx.from_complex(cap.tx_packet), Cplx.from_complex(cap.tx_lptot)
     )
+
+    if mesh is not None:
+        assert gen == "kernel", "mesh streaming requires the in-kernel generator"
+        return _make_device_stream_step_mesh(
+            mesh, batch, seed, snr_db, dtype, sample, channel_model,
+            txs, tpre,
+        )
     # "rbg" = XLA RngBitGenerator — ~an order of magnitude cheaper than
     # threefry for the ~90M random bits each batch needs on TPU; the
     # stream is synthetic benchmark data, not cryptography
@@ -247,6 +263,50 @@ def make_device_stream_step(
         return summary, sample_h, state
 
     return step, jnp.zeros((), jnp.int32)
+
+
+def _make_device_stream_step_mesh(mesh, batch, seed, snr_db, dtype, sample,
+                                  channel_model, txs, tpre):
+    """shard_map twin of the device stream step: per-dp-shard in-kernel
+    generation + chain, one psum for the global summaries."""
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+
+    from tpu80211.kernels.gen_chain import LANES as GL
+    from tpu80211.kernels.gen_chain import fused_gen_chain
+
+    dp = mesh.shape["dp"]
+    local = batch // dp
+    assert local * dp == batch and local % GL == 0, (batch, dp, GL)
+
+    def shard_step(i, state):
+        rank = jax.lax.axis_index("dp")
+        kseed = (jnp.asarray(seed + i * 65537, jnp.int32)
+                 + state * jnp.asarray(2654435761 % (2 ** 31), jnp.int32)
+                 + rank.astype(jnp.int32) * jnp.asarray(97003, jnp.int32))
+        out = fused_gen_chain(kseed, local, txs, tpre, snr_db=snr_db,
+                              eq_dtype=dtype, channel_model=channel_model)
+        h = out["h_true"]
+        # global summaries: one psum over dp carrying every numerator and
+        # the shared denominator in a single vector all-reduce
+        nums = [jnp.sum((out[name] - h).abs2()) for name in _STREAM_ESTS]
+        packed = jax.lax.psum(jnp.stack(nums + [jnp.sum(h.abs2())]), "dp")
+        summary = {name + "_nmse": packed[k] / packed[-1]
+                   for k, name in enumerate(_STREAM_ESTS)}
+        sample_h = out["h_mmse"][:, :sample]          # concat over dp lanes
+        chk = jax.lax.psum(jnp.sum(out["checksum"]), "dp")
+        state = jnp.mod(jnp.abs(chk) * 1e3, 65536.0).astype(jnp.int32)
+        return summary, sample_h, state
+
+    mapped = jax.shard_map(
+        shard_step, mesh=mesh,
+        in_specs=(P(), P()),
+        out_specs=({name + "_nmse": P() for name in _STREAM_ESTS},
+                   Cplx(P(None, "dp"), P(None, "dp")), P()),
+        check_vma=False,  # pallas interpret-mode vma limitation (CPU);
+                          # the kernel's out_shape avals carry correct vma
+    )
+    return jax.jit(mapped), jnp.zeros((), jnp.int32)
 
 
 def run_stream_device(
