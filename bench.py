@@ -124,6 +124,18 @@ def _step_txconst(args, s, inc):
     return jnp.tanh(jnp.sum(out["checksum"])) * 1e-9
 
 
+def _step_txserve(args, s, inc):
+    """tx-constant SERVING configuration: only h_wiener/h_mmse/eq/ow2/cfo
+    are written at batch width (the five diagnostic h planes collapse to
+    one tile) — the minimum-HBM production shape."""
+    from tpu80211.kernels.fused_chain import fused_rx_chain_txconst
+
+    txs, tpre, rx_pkt, rx_lp = args
+    out = fused_rx_chain_txconst(txs, tpre, rx_pkt, rx_lp, eps=s + inc,
+                                 serve=True)
+    return jnp.tanh(jnp.sum(out["checksum"])) * 1e-9
+
+
 def _bench_dense_mmse(iters: int = 24, batch: int = 8192) -> float:
     """Apples-to-apples figure for the op the reference actually times —
     the dense regularized 53×53 solve (BASELINE.json configs[3]) — via the
@@ -184,12 +196,12 @@ def _make_inputs(batch: int, dtype, fused: bool, txconst: bool):
 
 def bench_chain(path: str, batch: int, iters: int, dtype) -> dict:
     """Measure one chain path with the full serialized + batch-marginal
-    methodology.  ``path`` ∈ {"xla", "fused", "txconst"}."""
+    methodology.  ``path`` ∈ {"xla", "fused", "txconst", "txserve"}."""
     fused = path != "xla"
-    txconst = path == "txconst"
+    txconst = path in ("txconst", "txserve")
     base = _make_inputs(batch, dtype, fused, txconst)
     fn = jax.jit({"xla": _step, "fused": _step_fused,
-                  "txconst": _step_txconst}[path])
+                  "txconst": _step_txconst, "txserve": _step_txserve}[path])
     incs = [jnp.float32(1e-6 * i) for i in range(2 * iters)]
     s = fn(base, jnp.float32(0.0), incs[0])
     float(s)  # full warmup incl. readback path
@@ -234,7 +246,8 @@ def bench_chain(path: str, batch: int, iters: int, dtype) -> dict:
         "iters": iters,
         "dtype": "bf16" if bf16 else "f32",
         "path": {"xla": "xla", "fused": "fused_pallas",
-                 "txconst": "fused_pallas_txconst"}[path],
+                 "txconst": "fused_pallas_txconst",
+                 "txserve": "fused_pallas_txconst_serve"}[path],
         "wall_s": round(dt, 4),
         "wall_s_single_loop": round(dt1, 4),
         "frames_per_s_batch_marginal": round(frames_per_s_bmarg, 1),
@@ -261,13 +274,15 @@ def main():
         bf16 = True
     dtype = jnp.bfloat16 if bf16 else jnp.float32
 
-    explicit = [f for f in ("--xla", "--fused", "--txconst") if f in sys.argv[1:]]
+    explicit = [f for f in ("--xla", "--fused", "--txconst", "--txserve")
+                if f in sys.argv[1:]]
     if explicit or argv:
         # single-path run with explicit shape (smoke tests, sweeps)
         path = ("xla" if "--xla" in explicit
+                else "txserve" if "--txserve" in explicit
                 else "txconst" if "--txconst" in explicit else "fused")
         batch = int(argv[0]) if len(argv) > 0 else (
-            65536 if path == "txconst" else 32768)
+            65536 if path in ("txconst", "txserve") else 32768)
         iters = int(argv[1]) if len(argv) > 1 else 48
         row = bench_chain(path, batch, iters, dtype)
         result = {"metric": _metric_name(row), "unit": "frames/s", **row}

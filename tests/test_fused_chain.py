@@ -108,6 +108,43 @@ def test_fused_under_shard_map(inputs):
     assert _rel(got["eq"].to_complex(), want.eq.to_complex()) < 1e-4
 
 
+def test_txconst_serve_mode_served_outputs_match(inputs):
+    """Serving configuration (serve=True): the served outputs (h_wiener,
+    h_mmse, eq, ow2, cfo, checksum) are bit-identical to the full run;
+    the diagnostic h planes collapse to one (53, LANES) tile."""
+    from tpu80211.kernels.fused_chain import (
+        LANES,
+        fused_rx_chain_txconst,
+        tx_spectra,
+    )
+
+    tx_pkt, rx_pkt, tx_lp, rx_lp = inputs
+    b = tx_pkt.shape[0]
+    bpad = -(-b // LANES) * LANES
+
+    def prep(x):
+        return Cplx(jnp.pad(x.re, ((0, bpad - b), (0, 0))).T,
+                    jnp.pad(x.im, ((0, bpad - b), (0, 0))).T)
+
+    txs, tpre = tx_spectra(
+        Cplx(tx_pkt.re[0], tx_pkt.im[0]), Cplx(tx_lp.re[0], tx_lp.im[0])
+    )
+    full = fused_rx_chain_txconst(txs, tpre, prep(rx_pkt), prep(rx_lp))
+    served = fused_rx_chain_txconst(txs, tpre, prep(rx_pkt), prep(rx_lp),
+                                    serve=True)
+    for k in ("h_wiener", "h_mmse", "eq"):
+        np.testing.assert_array_equal(np.asarray(full[k].re),
+                                      np.asarray(served[k].re), err_msg=k)
+        np.testing.assert_array_equal(np.asarray(full[k].im),
+                                      np.asarray(served[k].im), err_msg=k)
+    for k in ("ow2", "cfo", "checksum"):
+        np.testing.assert_array_equal(np.asarray(full[k]),
+                                      np.asarray(served[k]), err_msg=k)
+    # diagnostics collapsed to a single tile
+    assert served["h_lt"].shape == (53, LANES)
+    assert full["h_lt"].shape == (53, bpad)
+
+
 def test_out_shape_vma_union_mixed_inputs():
     """The pallas_call out_shape avals must carry the union of the inputs'
     varying-mesh-axes for mixed varying/replicated inputs (ADVICE round-2:

@@ -286,14 +286,36 @@ def _kernel(*refs, tx_const: bool, sync: bool):
     chk_out[:] = chk
 
 
-def _out_specs_shapes(l, eq_dtype, vma=frozenset()):
+# indices of the h-plane PAIRS that serving mode drops from full HBM
+# output (LT-LS + the four classical interpolators — diagnostics; the
+# served estimates are h_wiener, h_mmse, eq, ow2, cfo, checksum)
+_SERVE_DROP = (0, 1, 2, 3, 4)  # h_lt, h_linear, h_cubic, h_sinc, h_spline
+
+
+def _out_specs_shapes(l, eq_dtype, vma=frozenset(), serve=False):
     def vspec(dim):
         return pl.BlockSpec((dim, LANES), lambda i: (0, i),
                             memory_space=pltpu.VMEM)
 
     sc53 = vspec(C.N_SC)
+    # serving mode: diagnostic h planes still get written (the kernel body
+    # is unchanged) but every grid step targets the SAME block — their HBM
+    # footprint collapses from (53, B) to one (53, LANES) tile and the
+    # output bandwidth drops by 10×13.9 MB at B=65536 (the chain is
+    # HBM-bound, PERF.md).  Their returned contents are the last tile's.
+    sc53_stub = pl.BlockSpec((C.N_SC, LANES), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM)
+
+    h_specs, h_shapes = [], []
+    for pair in range(7):
+        full = not (serve and pair in _SERVE_DROP)
+        h_specs += [sc53 if full else sc53_stub] * 2
+        dim = l if full else LANES
+        h_shapes += [jax.ShapeDtypeStruct((C.N_SC, dim), jnp.float32,
+                                          vma=vma)] * 2
+
     out_specs = (
-        [sc53] * 14
+        h_specs
         + [pl.BlockSpec((C.N_BLOCKS, C.N_SC, LANES), lambda i: (0, 0, i),
                         memory_space=pltpu.VMEM)] * 2
         + [vspec(1)] * 3
@@ -301,9 +323,8 @@ def _out_specs_shapes(l, eq_dtype, vma=frozenset()):
     # `vma` (varying-mesh-axes): under shard_map with check_vma=True the
     # out_shape avals must state which mesh axes they vary over — the
     # outputs vary over exactly the axes the batch inputs do.
-    sh53 = jax.ShapeDtypeStruct((C.N_SC, l), jnp.float32, vma=vma)
     out_shape = (
-        [sh53] * 14
+        h_shapes
         + [jax.ShapeDtypeStruct((C.N_BLOCKS, C.N_SC, l), eq_dtype, vma=vma)] * 2
         + [jax.ShapeDtypeStruct((1, l), jnp.float32, vma=vma)] * 3
     )
@@ -355,9 +376,10 @@ def _fused_call(txp_r, txp_i, rxp_r, rxp_i, txl_r, txl_i, rxl_r, rxl_i,
     )
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "sync"))
+@functools.partial(jax.jit, static_argnames=("interpret", "sync", "serve"))
 def _fused_call_txconst(txs_r, txs_i, tpc_r, tpc_i, rxp_r, rxp_i,
-                        rxl_r, rxl_i, eps, interpret, sync=False):
+                        rxl_r, rxl_i, eps, interpret, sync=False,
+                        serve=False):
     ntile = rxp_r.shape[-1] // LANES
 
     def vspec(dim):
@@ -372,7 +394,7 @@ def _fused_call_txconst(txs_r, txs_i, tpc_r, tpc_i, rxp_r, rxp_i,
     vma = frozenset().union(*(jax.typeof(a).vma for a in (
         txs_r, txs_i, tpc_r, tpc_i, rxp_r, rxp_i, rxl_r, rxl_i, eps)))
     out_specs, out_shape = _out_specs_shapes(
-        rxp_r.shape[-1], rxp_r.dtype, vma=vma)
+        rxp_r.shape[-1], rxp_r.dtype, vma=vma, serve=serve)
     return pl.pallas_call(
         functools.partial(_kernel, tx_const=True, sync=sync),
         grid=(ntile,),
@@ -469,14 +491,23 @@ def tx_spectra(tx_pkt: Cplx, tx_lp: Cplx) -> tuple[Cplx, Cplx]:
 
 
 def fused_rx_chain_txconst(txs: Cplx, tpre: Cplx, rx_pkt: Cplx,
-                           rx_lp: Cplx, eps=0.0, sync: bool = False):
+                           rx_lp: Cplx, eps=0.0, sync: bool = False,
+                           serve: bool = False):
     """tx-constant lane-major entry: the whole stream shares one known
     transmit packet, passed as precomputed spectra (see `tx_spectra`) —
     input HBM traffic halves vs `fused_rx_chain_lane_major`.
 
     txs: (53, 16) block spectra; tpre: (53, 1); rx_pkt: (1200, B);
     rx_lp: (160, B).  Output dict as in fused_rx_chain_lane_major.
-    Note: with eps≠0 only the rx side is perturbed (tx is constant)."""
+    Note: with eps≠0 only the rx side is perturbed (tx is constant).
+
+    ``serve=True`` is the serving configuration: only the served outputs
+    (h_wiener, h_mmse, eq, ow2, cfo, checksum) are written at full batch
+    width; the five diagnostic h planes collapse to one (53, LANES) tile
+    (their dict entries then hold only the LAST tile's values — the
+    checksum still covers every estimator, computed in VMEM as always).
+    The chain is HBM-output-bound at large B, so this trades diagnostics
+    for ~25% less output traffic."""
     b = rx_pkt.shape[-1]
     assert b % LANES == 0, b
     assert txs.shape == (C.N_SC, NB_PAD), txs.shape
@@ -484,7 +515,7 @@ def fused_rx_chain_txconst(txs: Cplx, tpre: Cplx, rx_pkt: Cplx,
     outs = _fused_call_txconst(
         txs.re, txs.im, tpre.re, tpre.im,
         rx_pkt.re, rx_pkt.im, rx_lp.re, rx_lp.im, eps,
-        interpret=not on_tpu(), sync=sync,
+        interpret=not on_tpu(), sync=sync, serve=serve,
     )
     return _pack_outputs(outs)
 
