@@ -111,6 +111,41 @@ def test_gen_chain_contract(capture):
                               np.asarray(out3["h_mmse"].re))
 
 
+def test_gen_chain_stream_sums_match_full(capture):
+    """stream_sums=True: the in-kernel-accumulated summary sums equal the
+    sums computed from the full-output run at the same seed (CPU twin;
+    the Pallas kernel is cross-checked the same way on-chip)."""
+    import jax.numpy as jnp
+
+    from tpu80211.cplx import Cplx
+    from tpu80211.kernels.fused_chain import tx_spectra
+    from tpu80211.kernels.gen_chain import _OUT_NAMES, fused_gen_chain
+
+    txs, tpre = tx_spectra(
+        Cplx.from_complex(capture.tx_packet),
+        Cplx.from_complex(capture.tx_lptot),
+    )
+    full = fused_gen_chain(jnp.int32(5), 256, txs, tpre, snr_db=30.0)
+    st = fused_gen_chain(jnp.int32(5), 256, txs, tpre, snr_db=30.0,
+                         stream_sums=True)
+    assert st["sums"].shape == (8, 128)
+    got = np.asarray(st["sums"]).sum(axis=-1)
+    h = full["h_true"]
+    want = np.asarray(
+        [float(np.sum((full[n] - h).abs2())) for n in _OUT_NAMES]
+        + [float(np.sum(h.abs2()))]
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+    # sample tiles are slices of the full outputs (the LAST 128 lanes)
+    np.testing.assert_array_equal(
+        np.asarray(st["h_mmse"].re), np.asarray(full["h_mmse"].re[:, -128:])
+    )
+    # checksum (the stream's state carrier) stays batch-wide and equal
+    np.testing.assert_array_equal(
+        np.asarray(st["checksum"]), np.asarray(full["checksum"])
+    )
+
+
 def test_plots(tmp_path, capture):
     from tpu80211.utils.plots import plot_cfr
     import jax.numpy as jnp

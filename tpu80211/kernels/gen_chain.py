@@ -117,8 +117,9 @@ def _gen_kernel(txs_r, txs_i, tpc_r, tpc_i, wcr_ref, wci_ref,
                 hlt_r, hlt_i, hlin_r, hlin_i, hcub_r, hcub_i,
                 hsin_r, hsin_i, hspl_r, hspl_i, hwie_r, hwie_i,
                 hmmse_r, hmmse_i, eq_r, eq_i, ow2_out,
-                htr_out, hti_out, chk_out, *, snr_db: float,
-                rms: float = RMS_SPREAD, n_taps: int = N_TAPS):
+                htr_out, hti_out, chk_out, *rest, snr_db: float,
+                rms: float = RMS_SPREAD, n_taps: int = N_TAPS,
+                stream_sums: bool = False):
     f32 = jnp.float32
     pltpu.prng_seed(seed_ref[0, 0], pl.program_id(0))
 
@@ -293,15 +294,39 @@ def _gen_kernel(txs_r, txs_i, tpc_r, tpc_i, wcr_ref, wci_ref,
         chk = chk + jnp.sum(er + ei, axis=0, keepdims=True)
     chk_out[:] = chk
 
+    if stream_sums:
+        # in-kernel stream summaries: per-lane Σ|ĥ − h|² for each of the
+        # 7 estimators + Σ|h|², ACCUMULATED across grid steps into one
+        # (8, LANES) block (constant index map; grid steps are sequential
+        # on TPU).  The stream step never reads the full h planes from
+        # HBM — its summaries come from here.
+        (sums_out,) = rest
+        mm_r = acc_r / C.N_AVG_BLOCKS
+        mm_i = acc_i / C.N_AVG_BLOCKS
+        pairs = [(hlt_re, hlt_im), (hlin_re, hlin_im), hcub, hsin, hspl,
+                 hwie, (mm_r, mm_i)]
+        rows = [
+            jnp.sum((pr - h_re) ** 2 + (pi - h_im) ** 2, axis=0,
+                    keepdims=True)
+            for pr, pi in pairs
+        ] + [jnp.sum(h_re * h_re + h_im * h_im, axis=0, keepdims=True)]
+        tile_sums = jnp.concatenate(rows, axis=0)      # (8, LANES)
+
+        @pl.when(pl.program_id(0) == 0)
+        def _init():
+            sums_out[:] = jnp.zeros_like(tile_sums)
+
+        sums_out[:] += tile_sums
+
 
 _OUT_NAMES = ("h_lt", "h_linear", "h_cubic", "h_sinc", "h_spline",
               "h_wiener", "h_mmse")
 
 
 @functools.partial(jax.jit, static_argnames=("batch", "snr_db", "eq_dtype",
-                                             "channel_model"))
+                                             "channel_model", "stream_sums"))
 def _gen_call(txs_r, txs_i, tpc_r, tpc_i, seed, batch, snr_db, eq_dtype,
-              channel_model=None):
+              channel_model=None, stream_sums=False):
     from tpu80211.ops import channel
 
     ntile = batch // LANES
@@ -310,6 +335,12 @@ def _gen_call(txs_r, txs_i, tpc_r, tpc_i, seed, batch, snr_db, eq_dtype,
 
     def vspec(dim):
         return pl.BlockSpec((dim, LANES), lambda i: (0, i),
+                            memory_space=pltpu.VMEM)
+
+    def stub(dim):
+        # constant index map: every grid step targets the same block —
+        # HBM footprint one tile (last tile's values; stream mode only)
+        return pl.BlockSpec((dim, LANES), lambda i: (0, 0),
                             memory_space=pltpu.VMEM)
 
     tspec = pl.BlockSpec((C.N_SC, NB_PAD), lambda i: (0, 0),
@@ -324,24 +355,47 @@ def _gen_call(txs_r, txs_i, tpc_r, tpc_i, seed, batch, snr_db, eq_dtype,
 
     wcr, wci = _cfr_mats(n_taps)
     wstack = np.stack([interp_matrix(k).T for k in INTERP_KINDS])
+    if stream_sums:
+        # stream mode: summaries accumulate in-kernel; the full h planes,
+        # eq, ow2 and h_true collapse to single tiles (only the sampled
+        # record and the state-carrying checksum leave at width)
+        h53 = stub(C.N_SC)
+        hdim = LANES
+        eq_spec = pl.BlockSpec((C.N_BLOCKS, C.N_SC, LANES),
+                               lambda i: (0, 0, 0), memory_space=pltpu.VMEM)
+        eq_dim = LANES
+        o1 = stub(1)
+        odim = LANES
+    else:
+        h53 = vspec(C.N_SC)
+        hdim = batch
+        eq_spec = pl.BlockSpec((C.N_BLOCKS, C.N_SC, LANES),
+                               lambda i: (0, 0, i), memory_space=pltpu.VMEM)
+        eq_dim = batch
+        o1 = vspec(1)
+        odim = batch
     out_specs = (
-        [vspec(C.N_SC)] * 14
-        + [pl.BlockSpec((C.N_BLOCKS, C.N_SC, LANES), lambda i: (0, 0, i),
-                        memory_space=pltpu.VMEM)] * 2
-        + [vspec(1)]
-        + [vspec(C.N_SC)] * 2
+        [h53] * 14
+        + [eq_spec] * 2
+        + [o1]
+        + [h53] * 2
         + [vspec(1)]
     )
     out_shape = (
-        [jax.ShapeDtypeStruct((C.N_SC, batch), jnp.float32)] * 14
-        + [jax.ShapeDtypeStruct((C.N_BLOCKS, C.N_SC, batch), eq_dtype)] * 2
-        + [jax.ShapeDtypeStruct((1, batch), jnp.float32)]
-        + [jax.ShapeDtypeStruct((C.N_SC, batch), jnp.float32)] * 2
+        [jax.ShapeDtypeStruct((C.N_SC, hdim), jnp.float32)] * 14
+        + [jax.ShapeDtypeStruct((C.N_BLOCKS, C.N_SC, eq_dim), eq_dtype)] * 2
+        + [jax.ShapeDtypeStruct((1, odim), jnp.float32)]
+        + [jax.ShapeDtypeStruct((C.N_SC, hdim), jnp.float32)] * 2
         + [jax.ShapeDtypeStruct((1, batch), jnp.float32)]
     )
+    if stream_sums:
+        out_specs = list(out_specs) + [stub(8)]
+        out_shape = list(out_shape) + [
+            jax.ShapeDtypeStruct((8, LANES), jnp.float32)
+        ]
     return pl.pallas_call(
         functools.partial(_gen_kernel, snr_db=snr_db, rms=float(rms),
-                          n_taps=n_taps),
+                          n_taps=n_taps, stream_sums=stream_sums),
         grid=(ntile,),
         in_specs=[tspec, tspec, pspec, pspec, cspec, cspec, wispec, wispec,
                   sspec],
@@ -360,17 +414,20 @@ def _pack(outs):
     res = {}
     for i, name in enumerate(_OUT_NAMES):
         res[name] = Cplx(outs[2 * i], outs[2 * i + 1])
-    eq_r, eq_i, ow2, htr, hti, chk = outs[14:]
+    eq_r, eq_i, ow2, htr, hti, chk = outs[14:20]
     res["eq"] = Cplx(eq_r, eq_i)
     res["ow2"] = ow2[0]
     res["h_true"] = Cplx(htr, hti)
     res["checksum"] = chk[0]
+    if len(outs) > 20:
+        res["sums"] = outs[20]    # (8, LANES): 7×Σ|ĥ−h|² rows + Σ|h|²
     return res
 
 
 def fused_gen_chain(seed, batch: int, txs: Cplx, tpre: Cplx,
                     snr_db: float = 20.0, eq_dtype=jnp.bfloat16,
-                    channel_model: str | None = None):
+                    channel_model: str | None = None,
+                    stream_sums: bool = False):
     """Generate ``batch`` frames in-kernel and run the full chain.
 
     seed: int32 scalar (traced OK) — deterministic stream per (seed, tile).
@@ -379,23 +436,31 @@ def fused_gen_chain(seed, batch: int, txs: Cplx, tpre: Cplx,
     selects the ETSI power-delay profile (ops/channel.py).  Returns the
     lane-major output dict of fused_rx_chain_txconst plus ``h_true``
     (53, B) Cplx.
+
+    ``stream_sums=True`` is the streaming configuration: an extra
+    ``sums`` output (8, LANES) carries the per-lane Σ|ĥ−h|² of every
+    estimator (+ Σ|h|²) accumulated across all tiles IN the kernel,
+    while the full h planes / eq / ow2 / h_true collapse to single
+    sample tiles (the last tile's values — the persisted record) and
+    only the state-carrying checksum leaves at batch width.  The stream
+    is HBM-output-bound; this removes ~all of that traffic.
     """
     assert batch % LANES == 0, (batch, LANES)
     assert txs.shape == (C.N_SC, NB_PAD), txs.shape
     assert tpre.shape == (C.N_SC, 1), tpre.shape
     if not on_tpu():
         return _gen_chain_jax(seed, batch, txs, tpre, snr_db, eq_dtype,
-                              channel_model)
+                              channel_model, stream_sums)
     outs = _gen_call(txs.re, txs.im, tpre.re, tpre.im, seed,
                      batch=batch, snr_db=float(snr_db), eq_dtype=eq_dtype,
-                     channel_model=channel_model)
+                     channel_model=channel_model, stream_sums=stream_sums)
     return _pack(outs)
 
 
 @functools.partial(jax.jit, static_argnames=("batch", "snr_db", "eq_dtype",
-                                             "channel_model"))
+                                             "channel_model", "stream_sums"))
 def _gen_chain_jax(seed, batch, txs, tpre, snr_db, eq_dtype,
-                   channel_model=None):
+                   channel_model=None, stream_sums=False):
     """Plain-JAX twin for non-TPU backends: same distributions and chain
     math (different PRNG bit streams).  Frequency-domain, lane-major."""
     from tpu80211.pipeline import sc
@@ -458,4 +523,21 @@ def _gen_chain_jax(seed, batch, txs, tpre, snr_db, eq_dtype,
     ) + jnp.sum(res["eq"].re.astype(jnp.float32)
                 + res["eq"].im.astype(jnp.float32), axis=(0, 1))
     res["checksum"] = chk
+    if stream_sums:
+        # match the kernel contract exactly: (8, LANES) per-lane sums
+        # accumulated over tiles, and the non-checksum outputs collapsed
+        # to the LAST tile's values
+        def lane_sums(vals):  # (B,) → (LANES,) summed over tile groups
+            return vals.reshape(-1, LANES).sum(axis=0)
+
+        rows = [
+            lane_sums(jnp.sum((res[n] - h).abs2(), axis=0))
+            for n in _OUT_NAMES
+        ] + [lane_sums(jnp.sum(h.abs2(), axis=0))]
+        res["sums"] = jnp.stack(rows)
+        for n in _OUT_NAMES:
+            res[n] = res[n][:, -LANES:]
+        res["eq"] = res["eq"][:, :, -LANES:]
+        res["ow2"] = res["ow2"][-LANES:]
+        res["h_true"] = res["h_true"][:, -LANES:]
     return res

@@ -240,9 +240,15 @@ def make_device_stream_step(
             # seed — the state term is the serializing data dependence
             kseed = (jnp.asarray(seed + i * 65537, jnp.int32)
                      + state * jnp.asarray(2654435761 % (2 ** 31), jnp.int32))
+            # stream configuration: summaries accumulate IN the kernel
+            # (its `sums` output); full h planes never leave the chip
             out = fused_gen_chain(kseed, batch, txs, tpre, snr_db=snr_db,
-                                  eq_dtype=dtype, channel_model=channel_model)
-            h = out["h_true"]
+                                  eq_dtype=dtype, channel_model=channel_model,
+                                  stream_sums=True)
+            s = jnp.sum(out["sums"], axis=-1)        # (8,)
+            summary = {name + "_nmse": s[k] / s[-1]
+                       for k, name in enumerate(_STREAM_ESTS)}
+            sample_h = out["h_mmse"][:, :sample]     # sample tile slice
         else:
             key = jax.random.fold_in(base_key, i)
             key = jax.random.fold_in(key, state)  # serializing dependence
@@ -251,12 +257,12 @@ def make_device_stream_step(
                 channel_model=channel_model,
             )
             out = fused_rx_chain_txconst(txs, tpre, pkt, lp, sync=sync)
-        hp2 = jnp.sum(h.abs2())
-        summary = {}
-        for name in _STREAM_ESTS:
-            d = out[name] - h
-            summary[name + "_nmse"] = jnp.sum(d.abs2()) / hp2
-        sample_h = out["h_mmse"][:, :sample]
+            hp2 = jnp.sum(h.abs2())
+            summary = {}
+            for name in _STREAM_ESTS:
+                d = out[name] - h
+                summary[name + "_nmse"] = jnp.sum(d.abs2()) / hp2
+            sample_h = out["h_mmse"][:, :sample]
         state = jnp.mod(
             jnp.abs(jnp.sum(out["checksum"])) * 1e3, 65536.0
         ).astype(jnp.int32)
@@ -284,13 +290,12 @@ def _make_device_stream_step_mesh(mesh, batch, seed, snr_db, dtype, sample,
         kseed = (jnp.asarray(seed + i * 65537, jnp.int32)
                  + state * jnp.asarray(2654435761 % (2 ** 31), jnp.int32)
                  + rank.astype(jnp.int32) * jnp.asarray(97003, jnp.int32))
+        # summaries accumulate IN the kernel (stream_sums); one vector
+        # psum over dp carries every numerator + the shared denominator
         out = fused_gen_chain(kseed, local, txs, tpre, snr_db=snr_db,
-                              eq_dtype=dtype, channel_model=channel_model)
-        h = out["h_true"]
-        # global summaries: one psum over dp carrying every numerator and
-        # the shared denominator in a single vector all-reduce
-        nums = [jnp.sum((out[name] - h).abs2()) for name in _STREAM_ESTS]
-        packed = jax.lax.psum(jnp.stack(nums + [jnp.sum(h.abs2())]), "dp")
+                              eq_dtype=dtype, channel_model=channel_model,
+                              stream_sums=True)
+        packed = jax.lax.psum(jnp.sum(out["sums"], axis=-1), "dp")
         summary = {name + "_nmse": packed[k] / packed[-1]
                    for k, name in enumerate(_STREAM_ESTS)}
         sample_h = out["h_mmse"][:, :sample]          # concat over dp lanes
