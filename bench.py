@@ -306,7 +306,8 @@ def main():
 
         tx = run_sub(["65536", "64", "--txconst"])
         dflt = run_sub(["32768", "48", "--fused"])
-        for row in (tx, dflt):
+        serve = run_sub(["65536", "64", "--txserve"])
+        for row in (tx, dflt, serve):
             for k in ("metric", "unit", "device"):
                 row.pop(k, None)
         result = {
@@ -314,6 +315,7 @@ def main():
             "unit": "frames/s",
             **tx,
             "default_path": dflt,
+            "serving_path": serve,
         }
 
     result["device"] = str(jax.devices()[0])
