@@ -44,6 +44,13 @@ def _build_parser() -> argparse.ArgumentParser:
                             "the fused Pallas kernel")
     bench.add_argument("--f32", action="store_true",
                        help="f32 storage instead of bf16")
+    bench.add_argument("--txconst", action="store_true",
+                       help="tx-constant production shape (shared known "
+                            "transmit packet)")
+    bench.add_argument("--txserve", action="store_true",
+                       help="tx-constant SERVING shape (only "
+                            "h_wiener/h_mmse/eq/sigma2/cfo written at "
+                            "batch width)")
 
     par = sub.add_parser("parity", help="JAX vs native C++ oracle check")
     par.add_argument("--mode", default="math",
@@ -180,6 +187,10 @@ def _cmd_bench(args) -> int:
         sys.argv.append("--xla")
     if args.f32:
         sys.argv.append("--f32")
+    if args.txconst:
+        sys.argv.append("--txconst")
+    if args.txserve:
+        sys.argv.append("--txserve")
     bench_mod.main()
     return 0
 
