@@ -84,6 +84,10 @@ def test_no_false_alarm_on_noise(capture):
     x = Cplx.from_complex(_noise(rng, (8, N), 0.002), jnp.float64)
     res = detect.detect_packet(x, detect.lts_time_symbol(capture.tx_lptot))
     assert not np.asarray(res["detected"]).any()
+    # undetected rows return sentinel indices, never plausible garbage
+    # (ADVICE round-3): -1 everywhere when the metric never crossed
+    assert (np.asarray(res["coarse"]) == -1).all()
+    assert (np.asarray(res["start"]) == -1).all()
 
 
 def test_extract_and_run_chain(capture):

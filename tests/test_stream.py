@@ -59,6 +59,30 @@ def test_device_stream_runs_persists_resumes(tmp_path):
     assert res2["frames"] == 0
 
 
+def test_device_stream_resume_is_bit_deterministic(tmp_path):
+    """A resumed device stream restores the persisted carried state, so
+    batches after the resume boundary are bit-identical to an
+    uninterrupted run (ADVICE round-3: `continue` without advancing the
+    state made resumed shards diverge)."""
+    a_dir = tmp_path / "uninterrupted"
+    b_dir = tmp_path / "resumed"
+    stream.run_stream_device(4, 128, out_dir=str(a_dir), sample=8,
+                             snr_db=35.0)
+    stream.run_stream_device(2, 128, out_dir=str(b_dir), sample=8,
+                             snr_db=35.0)
+    stream.run_stream_device(4, 128, out_dir=str(b_dir), sample=8,
+                             snr_db=35.0)
+    for i in (2, 3):  # the batches computed after the resume boundary
+        a = np.load(a_dir / f"stream_{i:06d}.npz")
+        b = np.load(b_dir / f"stream_{i:06d}.npz")
+        np.testing.assert_array_equal(a["h_mmse_sample"],
+                                      b["h_mmse_sample"], err_msg=str(i))
+        np.testing.assert_array_equal(a["h_mmse_nmse"], b["h_mmse_nmse"])
+    # states persisted for every batch in both runs
+    cur = json.loads((b_dir / "cursor.json").read_text())
+    assert set(cur["states"]) == {"0", "1", "2", "3"}
+
+
 def test_device_stream_steps_are_chained():
     """The carried state makes each batch's generator key depend on the
     previous batch's outputs — the device-side serialization the

@@ -119,12 +119,17 @@ def _gen_kernel(txs_r, txs_i, tpc_r, tpc_i, wcr_ref, wci_ref,
                 hmmse_r, hmmse_i, eq_r, eq_i, ow2_out,
                 htr_out, hti_out, chk_out, *rest, snr_db: float,
                 rms: float = RMS_SPREAD, n_taps: int = N_TAPS,
-                stream_sums: bool = False):
+                stream_sums: bool = False, probe: str = "full"):
     f32 = jnp.float32
     pltpu.prng_seed(seed_ref[0, 0], pl.program_id(0))
 
-    import os as _os
-    _probe = _os.environ.get("TPU80211_GEN_PROBE", "full")
+    # ``probe`` selects deterministic stand-ins for pieces of the frame
+    # synthesis (perf anatomy, scripts/bench_stream.py --probe) — an
+    # explicit static argument, NOT an env var: a probe accidentally left
+    # enabled in the environment would silently corrupt stream results
+    # through the jit cache (ADVICE round-3).  Production entry points
+    # always trace with probe="full".
+    _probe = probe
 
     def normals(n):
         """Two independent (n, LANES) standard-normal tensors
@@ -324,9 +329,10 @@ _OUT_NAMES = ("h_lt", "h_linear", "h_cubic", "h_sinc", "h_spline",
 
 
 @functools.partial(jax.jit, static_argnames=("batch", "snr_db", "eq_dtype",
-                                             "channel_model", "stream_sums"))
+                                             "channel_model", "stream_sums",
+                                             "probe"))
 def _gen_call(txs_r, txs_i, tpc_r, tpc_i, seed, batch, snr_db, eq_dtype,
-              channel_model=None, stream_sums=False):
+              channel_model=None, stream_sums=False, probe="full"):
     from tpu80211.ops import channel
 
     ntile = batch // LANES
@@ -395,7 +401,8 @@ def _gen_call(txs_r, txs_i, tpc_r, tpc_i, seed, batch, snr_db, eq_dtype,
         ]
     return pl.pallas_call(
         functools.partial(_gen_kernel, snr_db=snr_db, rms=float(rms),
-                          n_taps=n_taps, stream_sums=stream_sums),
+                          n_taps=n_taps, stream_sums=stream_sums,
+                          probe=probe),
         grid=(ntile,),
         in_specs=[tspec, tspec, pspec, pspec, cspec, cspec, wispec, wispec,
                   sspec],
@@ -427,7 +434,7 @@ def _pack(outs):
 def fused_gen_chain(seed, batch: int, txs: Cplx, tpre: Cplx,
                     snr_db: float = 20.0, eq_dtype=jnp.bfloat16,
                     channel_model: str | None = None,
-                    stream_sums: bool = False):
+                    stream_sums: bool = False, probe: str = "full"):
     """Generate ``batch`` frames in-kernel and run the full chain.
 
     seed: int32 scalar (traced OK) — deterministic stream per (seed, tile).
@@ -444,16 +451,23 @@ def fused_gen_chain(seed, batch: int, txs: Cplx, tpre: Cplx,
     sample tiles (the last tile's values — the persisted record) and
     only the state-carrying checksum leaves at batch width.  The stream
     is HBM-output-bound; this removes ~all of that traffic.
+
+    ``probe`` (static, default "full") swaps parts of the in-kernel frame
+    synthesis for deterministic stand-ins — the perf-anatomy knob for
+    scripts/bench_stream.py ONLY; any probe ≠ "full" produces
+    wrong-by-design outputs and must never reach a production stream.
     """
     assert batch % LANES == 0, (batch, LANES)
     assert txs.shape == (C.N_SC, NB_PAD), txs.shape
     assert tpre.shape == (C.N_SC, 1), tpre.shape
     if not on_tpu():
+        assert probe == "full", "probe variants are TPU-kernel-only"
         return _gen_chain_jax(seed, batch, txs, tpre, snr_db, eq_dtype,
                               channel_model, stream_sums)
     outs = _gen_call(txs.re, txs.im, tpre.re, tpre.im, seed,
                      batch=batch, snr_db=float(snr_db), eq_dtype=eq_dtype,
-                     channel_model=channel_model, stream_sums=stream_sums)
+                     channel_model=channel_model, stream_sums=stream_sums,
+                     probe=probe)
     return _pack(outs)
 
 

@@ -136,10 +136,13 @@ def detect_packet(
     idx_m = jnp.arange(nm)
     mask_m = (idx_m >= lo) & (idx_m < lo + 2 * search)
     peak_m = jnp.max(jnp.where(mask_m, m, 0.0), axis=-1)
+    # no crossing ⇒ argmax over an all-False mask would yield plausible
+    # garbage indices; force -1 so an ungated caller fails loudly
+    # (extract_packet clips -1 to 0 — still gate on `detected`)
     return {
         "detected": detected,
-        "coarse": coarse,
-        "start": start,
+        "coarse": jnp.where(detected, coarse, -1),
+        "start": jnp.where(detected, start, -1),
         "metric": peak_m,
     }
 

@@ -85,14 +85,32 @@ class _Sink:
     def __init__(self, out_dir, resume):
         self.dir = pathlib.Path(out_dir) if out_dir else None
         self.cursor = set()
+        # per-batch carried-state record: state AFTER batch i (device
+        # stream only) — restoring it on resume keeps resumed streams
+        # bit-identical to uninterrupted ones (ADVICE round-3: skipping a
+        # batch without advancing the state made every later batch draw
+        # different frames than the original run)
+        self.states: dict[str, int] = {}
         if self.dir:
             self.dir.mkdir(parents=True, exist_ok=True)
             cur = self.dir / "cursor.json"
             if resume and cur.exists():
-                self.cursor = set(json.loads(cur.read_text())["done"])
+                rec = json.loads(cur.read_text())
+                self.cursor = set(rec["done"])
+                self.states = rec.get("states", {})
 
     def done(self, i: int) -> bool:
         return i in self.cursor
+
+    def state_after(self, i: int):
+        """Persisted carried state after batch ``i`` (None if unknown —
+        pre-round-4 cursor files)."""
+        return self.states.get(str(i))
+
+    def _write_cursor(self) -> None:
+        (self.dir / "cursor.json").write_text(
+            json.dumps({"done": sorted(self.cursor), "states": self.states})
+        )
 
     def write(self, i: int, out) -> None:
         if not self.dir:
@@ -106,7 +124,7 @@ class _Sink:
             )
         np.savez_compressed(self.dir / f"h_est_{i:06d}.npz", **arrs)
         self.cursor.add(i)
-        (self.dir / "cursor.json").write_text(json.dumps({"done": sorted(self.cursor)}))
+        self._write_cursor()
 
     def path_str(self):
         return str(self.dir) if self.dir else None
@@ -324,8 +342,15 @@ def run_stream_device(
 
     Steps are serialized on-device through the carried state, but the
     host loop dispatches ahead and fences one batch behind — readback
-    latency overlaps the next batch's compute."""
+    latency overlaps the next batch's compute.
+
+    Resume is bit-deterministic: the carried state after each batch is
+    persisted in cursor.json, so a resumed run restores the exact state
+    a skipped batch left behind and every later batch draws the same
+    frames as an uninterrupted run would (ADVICE round-3)."""
     import time as _time
+
+    import jax.numpy as jnp
 
     step, state = make_device_stream_step(batch, seed, snr_db, sample=sample,
                                           gen=gen, channel_model=channel_model)
@@ -335,11 +360,18 @@ def run_stream_device(
     n_frames = 0
     for i in range(n_batches):
         if sink.done(i):
+            saved = sink.state_after(i)
+            if saved is not None:
+                state = jnp.asarray(saved, jnp.int32)
+            else:
+                # old cursor without states: advance deterministically by
+                # re-running the step and discarding its outputs
+                _, _, state = step(i, state)
             continue
         summary, sample_h, state = step(i, state)
         if pending is not None:
             n_frames += _finish_device(pending, sink, batch)
-        pending = (i, summary, sample_h)
+        pending = (i, summary, sample_h, state)
     if pending is not None:
         n_frames += _finish_device(pending, sink, batch)
     dt = _time.perf_counter() - t0
@@ -349,15 +381,14 @@ def run_stream_device(
 
 
 def _finish_device(pending, sink, batch) -> int:
-    i, summary, sample_h = pending
+    i, summary, sample_h, state_after = pending
     record = {k: np.asarray(v) for k, v in summary.items()}
     record["h_mmse_sample"] = sample_h.to_complex().T  # (sample, 53)
     if sink.dir:
         np.savez_compressed(sink.dir / f"stream_{i:06d}.npz", **record)
         sink.cursor.add(i)
-        (sink.dir / "cursor.json").write_text(
-            json.dumps({"done": sorted(sink.cursor)})
-        )
+        sink.states[str(i)] = int(np.asarray(state_after))
+        sink._write_cursor()
     return batch
 
 
