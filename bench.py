@@ -139,7 +139,12 @@ def _step_txserve(args, s, inc):
 def _bench_dense_mmse(iters: int = 24, batch: int = 8192) -> float:
     """Apples-to-apples figure for the op the reference actually times —
     the dense regularized 53×53 solve (BASELINE.json configs[3]) — via the
-    panel-blocked Cholesky kernel, serialized marginal methodology."""
+    panel-blocked Cholesky kernel, serialized marginal methodology.
+    The measured kernel's output is asserted against numpy before timing
+    (VERDICT round-3 weak#2: an accuracy-unchecked bench would record a
+    silently-wrong kernel's throughput)."""
+    import numpy as np
+
     from tpu80211.kernels.mmse_solve import fused_rank1_solve
 
     ks = jax.random.split(jax.random.PRNGKey(1), 4)
@@ -154,6 +159,16 @@ def _bench_dense_mmse(iters: int = 24, batch: int = 8192) -> float:
         z = fused_rank1_solve(
             Cplx(u.re * (1.0 + s + inc), u.im), rx, ow2, method="chol")
         return jnp.tanh(jnp.sum(z.re) + jnp.sum(z.im)) * 1e-9
+
+    # accuracy gate on the exact kernel being timed (spot lanes vs numpy)
+    got = np.asarray(fused_rank1_solve(u, rx, ow2, method="chol").to_complex())
+    un = np.asarray(u.to_complex())
+    rn = np.asarray(rx.to_complex())
+    for i in range(0, batch, max(1, batch // 7)):
+        a = 0.37 * np.eye(53) + np.outer(un[i], np.conj(un[i]))
+        want = np.linalg.solve(a, rn[i])
+        rel = float(np.abs(got[i] - want).max() / np.abs(want).max())
+        assert rel < 5e-5, ("dense mmse kernel accuracy", i, rel)
 
     incs = [jnp.float32(1e-6 * i) for i in range(2 * iters)]
     s = step(jnp.float32(0.0), incs[0])
