@@ -148,6 +148,120 @@ def test_extract_and_run_chain(capture):
     assert rel < 4e-2, rel
 
 
+def test_raw_rx_pipeline_matches_prealigned(capture):
+    """pipeline/raw.py: raw streams → detect_and_align → fused chain
+    equals the chain on the pre-aligned frames (CPU: the detect kernel's
+    XLA fallback + gather extraction; the Pallas kernel itself is
+    cross-checked on-chip by test_detect_kernel_matches_xla_on_tpu)."""
+    from tpu80211.kernels.fused_chain import (
+        fused_rx_chain_txconst,
+        tx_spectra,
+    )
+    from tpu80211.pipeline import raw
+
+    rng = np.random.default_rng(9)
+    nb = 4
+    frame = np.concatenate([capture.rx_lptot, capture.rx_packet])
+    stream = _noise(rng, (128, N), 1e-5)   # LANES-wide batch (kernel req)
+    offs = rng.integers(50, N - 1400, 128)
+    for i, o in enumerate(offs):
+        stream[i, o:o + 1360] += frame
+    x = Cplx.from_complex(np.ascontiguousarray(stream.T), jnp.float32)
+    lts = detect.lts_time_symbol(capture.tx_lptot)
+    lts = Cplx(jnp.asarray(lts.re, jnp.float32),
+               jnp.asarray(lts.im, jnp.float32))
+    txs, tpre = tx_spectra(Cplx.from_complex(capture.tx_packet, jnp.float32),
+                           Cplx.from_complex(capture.tx_lptot, jnp.float32))
+    out = raw.raw_rx_txconst(x, lts, txs, tpre)
+    assert np.asarray(out["detected"]).all()
+    starts = np.asarray(out["start"])
+    assert ((starts - offs >= -4) & (starts - offs <= -2)).all()
+
+    # reference: chain on the frames sliced at the SAME detected starts
+    lp_re = np.stack([stream[i, starts[i]:starts[i] + 160].real
+                      for i in range(nb)], axis=1)
+    lp_im = np.stack([stream[i, starts[i]:starts[i] + 160].imag
+                      for i in range(nb)], axis=1)
+    pk_re = np.stack([stream[i, starts[i] + 160:starts[i] + 1360].real
+                      for i in range(nb)], axis=1)
+    pk_im = np.stack([stream[i, starts[i] + 160:starts[i] + 1360].imag
+                      for i in range(nb)], axis=1)
+    # pad to a LANES multiple like raw_rx does internally
+    want = fused_rx_chain_txconst(
+        txs, tpre,
+        Cplx(jnp.asarray(np.pad(pk_re, ((0, 0), (0, 128 - nb))), jnp.float32),
+             jnp.asarray(np.pad(pk_im, ((0, 0), (0, 128 - nb))), jnp.float32)),
+        Cplx(jnp.asarray(np.pad(lp_re, ((0, 0), (0, 128 - nb))), jnp.float32),
+             jnp.asarray(np.pad(lp_im, ((0, 0), (0, 128 - nb))), jnp.float32)),
+    )
+    got = np.asarray(out["h_mmse"].re)[:, :nb]
+    ref_h = np.asarray(want["h_mmse"].re)[:, :nb]
+    np.testing.assert_allclose(got, ref_h, rtol=1e-4, atol=1e-6)
+
+
+def test_detect_kernel_matches_xla_on_tpu(capture):
+    """Full-size fused detection + barrel-shift alignment vs the XLA
+    path, on the real chip (skips without one)."""
+    import os
+    import subprocess
+    import sys
+    import textwrap
+
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("JAX_PLATFORMS", "XLA_FLAGS", "JAX_ENABLE_X64")}
+    script = textwrap.dedent("""
+        import jax, sys
+        import numpy as np
+        if jax.default_backend() in ("cpu",):
+            print("NO_TPU"); sys.exit(0)
+        jax.config.update("jax_compilation_cache_dir",
+                          "/tmp/tpu80211-jax-cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        import jax.numpy as jnp
+        from tpu80211.cplx import Cplx
+        from tpu80211.datasets.loader import load_capture
+        from tpu80211.ops import detect as xd
+        from tpu80211.kernels.detect_kernel import (
+            detect_and_align, detect_streams)
+        cap = load_capture()
+        rng = np.random.default_rng(7)
+        NS, B = 2048, 128
+        frame = np.concatenate([cap.rx_lptot, cap.rx_packet])
+        x = (rng.standard_normal((B, NS))
+             + 1j * rng.standard_normal((B, NS))) * 1e-4
+        offs = rng.integers(40, NS - 1400, B)
+        for i, o in enumerate(offs):
+            x[i, o:o + 1360] += frame
+        xc = Cplx.from_complex(np.ascontiguousarray(x.T), jnp.float32)
+        lts = xd.lts_time_symbol(cap.tx_lptot)
+        lts = Cplx(jnp.asarray(lts.re, jnp.float32),
+                   jnp.asarray(lts.im, jnp.float32))
+        ref = xd.detect_packet(Cplx.from_complex(x, jnp.float32), lts)
+        res = detect_streams(xc, lts)
+        for k in ("detected", "coarse", "start"):
+            assert (np.asarray(res[k]) == np.asarray(ref[k])).all(), k
+        det, lp, pkt = detect_and_align(xc, lts)
+        starts = np.asarray(det["start"])
+        assert (starts == np.asarray(ref["start"])).all()
+        want = np.stack([x[l, starts[l]:starts[l] + 160].real
+                         for l in range(B)], axis=1).astype(np.float32)
+        assert np.abs(np.asarray(lp.re) - want).max() < 1e-7
+        wantp = np.stack([x[l, starts[l] + 160:starts[l] + 1360].imag
+                          for l in range(B)], axis=1).astype(np.float32)
+        assert np.abs(np.asarray(pkt.im) - wantp).max() < 1e-7
+        print("TPU_OK")
+    """)
+    import pytest
+
+    r = subprocess.run([sys.executable, "-c", script], env=env,
+                       capture_output=True, text=True, timeout=1200)
+    assert r.returncode == 0, r.stderr[-2000:]
+    if "NO_TPU" in r.stdout:
+        pytest.skip("no TPU attached — CPU fallback covered by "
+                    "test_raw_rx_pipeline_matches_prealigned")
+    assert "TPU_OK" in r.stdout, r.stdout
+
+
 def test_metric_bounded_by_one(capture):
     """Cauchy-Schwarz: the both-window-normalized metric never exceeds 1
     (the single-window form spiked to 1.5 in data regions — fixed)."""

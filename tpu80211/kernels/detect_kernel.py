@@ -1,0 +1,312 @@
+"""Fused Pallas packet-detection kernel: raw streams → timing, one pass.
+
+The XLA detection pipeline (ops/detect.py) runs at 524k streams/s —
+88× below the fused chain's frame rate (PERF.md round 3), making
+detection the system bottleneck the moment the input is a raw sample
+stream.  The pipeline is ~10 separate HLOs (cumsums, convs, argmaxes)
+with (B, 2048)-sized intermediates round-tripping HBM between them.
+
+This kernel runs the ENTIRE detection stage for a tile of ``LANES``
+streams inside VMEM — one read of the raw samples, a few dozen bytes of
+output per stream:
+
+  * **Schmidl&Cox lag-64 metric** — the length-64 sliding-window sums
+    (numerator product + both window energies) are computed by dyadic
+    doubling (w_{2k}[d] = w_k[d] + w_k[d+k]): 6 shifted adds per plane
+    instead of a 2048-long sequential cumsum (TPU has no cheap scan;
+    shifted adds are single VPU ops);
+  * **LTS matched filter** — cross-correlation with the known 64-sample
+    LTS at every offset, as chunked (64, 128) @ (128, LANES) `jnp.dot`s:
+    the banded shift matrix W[d, j] = h[j−d] turns 64 offsets × 64 taps
+    into one MXU contraction of full 128 depth (the same P4-style
+    "reduction tree → matmul inner dim" move as ops/interp.py);
+  * **pair disambiguation + 5-sample smoothing + masked argmax + timing
+    advance** — exactly ops/detect.py::detect_packet semantics (same
+    thresholds, same [-4,-2] timing-band behavior), computed with
+    sublane-shift adds and two-pass (max, first-index) reductions.
+
+Layout is lane-major (NS, LANES) like every production kernel; outputs
+are (1, L) rows: detected, coarse, start (−1 sentinels when undetected),
+peak metric.  On non-TPU backends `detect_streams` falls back to
+ops/detect.py (identical math, XLA ops), so the CPU suite exercises the
+full contract; the kernel itself is cross-checked against that fallback
+on-chip (tests/test_detect.py::test_detect_kernel_matches_xla_on_tpu).
+
+Reference: the stage WiFi_RX.m:7's `threshold` parameter promises but
+the reference never implements (PARITY_MAP.md "Detection threshold
+mapping").
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from tpu80211 import constants as C
+from tpu80211.cplx import Cplx
+from tpu80211.kernels import on_tpu
+from tpu80211.ops import detect as xla_detect
+
+LANES = 128
+LAG = C.N_FFT     # 64
+WIN = C.N_FFT     # 64
+MF_CHUNK = 2 * LAG  # 128 — matched-filter input chunk (full MXU depth)
+
+
+@functools.lru_cache(maxsize=None)
+def _mf_bands(lts_key):
+    """(64, 128) banded shift matrices W[d, j] = h[j − d] for the real
+    and imaginary LTS taps (numpy, cached per LTS)."""
+    h_re, h_im = lts_key
+    wrr = np.zeros((LAG, MF_CHUNK), np.float32)
+    wri = np.zeros((LAG, MF_CHUNK), np.float32)
+    for d in range(LAG):
+        wrr[d, d:d + LAG] = h_re
+        wri[d, d:d + LAG] = h_im
+    return wrr, wri
+
+
+def _wsum(x, w):
+    """Length-``w`` sliding sums along axis 0 by dyadic doubling:
+    out[d] = Σ_{k<w} x[d+k], shape (n−w+1, L).  w must be a power of 2."""
+    step = 1
+    while step < w:
+        x = x[:-step] + x[step:]
+        step *= 2
+    return x
+
+
+def _first_true(mask, big):
+    """(values first-True-index) over axis 0 of a boolean (n, L) mask:
+    argmax-with-ties→first via two reductions (portable to Mosaic)."""
+    n = mask.shape[0]
+    idx = jax.lax.broadcasted_iota(jnp.int32, mask.shape, 0)
+    return jnp.min(jnp.where(mask, idx, big), axis=0, keepdims=True)
+
+
+def _argmax_first(vals):
+    """First index of the maximum over axis 0, (1, L) int32."""
+    m = jnp.max(vals, axis=0, keepdims=True)
+    return _first_true(vals >= m, vals.shape[0])
+
+
+def _kernel(xr_ref, xi_ref, wrr_ref, wri_ref,
+            det_out, coarse_out, start_out, metric_out, *rest,
+            ns, threshold, search, advance, align=False):
+    f32 = jnp.float32
+    xr = xr_ref[:].astype(f32)                      # (ns, L)
+    xi = xi_ref[:].astype(f32)
+
+    # ---- Schmidl&Cox lag-64 normalized autocorrelation ----------------
+    ar, ai = xr[:-LAG], xi[:-LAG]                   # (ns-64, L)
+    br, bi = xr[LAG:], xi[LAG:]
+    p_re = _wsum(ar * br + ai * bi, WIN)            # Σ a·conj(b), re
+    p_im = _wsum(ai * br - ar * bi, WIN)            # (ns-128+1, L)
+    e1 = _wsum(ar * ar + ai * ai, WIN)
+    e2 = _wsum(br * br + bi * bi, WIN)
+    m = (p_re * p_re + p_im * p_im) / jnp.maximum(e1 * e2, 1e-30)
+    nm = m.shape[0]
+
+    above = m > threshold
+    det = jnp.max(above.astype(jnp.int32), axis=0, keepdims=True)
+    coarse = _first_true(above, nm)                 # nm when none (gated)
+
+    # ---- LTS matched filter as chunked full-depth MXU dots ------------
+    wrr = wrr_ref[:]                                # (64, 128)
+    wri = wri_ref[:]
+    n_mf = ns - LAG + 1
+    n_chunks = (ns - MF_CHUNK) // LAG + 1           # offsets 0..64·n-1
+    mf_rows = []
+    for c in range(n_chunks):
+        lo = c * LAG
+        cr_ = xr[lo:lo + MF_CHUNK, :].astype(wrr.dtype)
+        ci_ = xi[lo:lo + MF_CHUNK, :].astype(wrr.dtype)
+        # corr[d] = Σ_t x[d+t]·conj(ref[t])
+        yr = jnp.dot(wrr, cr_, preferred_element_type=f32) + jnp.dot(
+            wri, ci_, preferred_element_type=f32)
+        yi = jnp.dot(wrr, ci_, preferred_element_type=f32) - jnp.dot(
+            wri, cr_, preferred_element_type=f32)
+        mf_rows.append(jnp.sqrt(yr * yr + yi * yi))
+    mf = jnp.concatenate(mf_rows, axis=0)[:n_mf - 1]  # (64·n_chunks, L)
+
+    # 5-sample smoothing (dyadic 4 + tail 1), then the 64-apart pair sum
+    mf4 = _wsum(mf, 4)
+    mf_s = mf4[:-1] + mf[4:]                        # length-5 sums
+    pair = mf_s[:-LAG] + mf_s[LAG:]                 # (np, L)
+    np_ = pair.shape[0]
+
+    idx_p = jax.lax.broadcasted_iota(jnp.int32, (np_, 1), 0)
+    lo = coarse                                     # (1, L)
+    mask = jnp.logical_and(idx_p >= lo, idx_p < lo + 2 * search)
+    rep1 = _argmax_first(jnp.where(mask, pair, 0.0)) + 2
+    start = rep1 - 32 - advance
+
+    idx_m = jax.lax.broadcasted_iota(jnp.int32, (nm, 1), 0)
+    mask_m = jnp.logical_and(idx_m >= lo, idx_m < lo + 2 * search)
+    peak_m = jnp.max(jnp.where(mask_m, m, 0.0), axis=0, keepdims=True)
+
+    detected = det > 0
+    det_out[:] = det
+    coarse_out[:] = jnp.where(detected, coarse, -1)
+    start_out[:] = jnp.where(detected, start, -1)
+    metric_out[:] = peak_m
+
+    if align:
+        # ---- per-lane barrel-shift extraction, entirely in VMEM -------
+        # A per-lane dynamic sublane slice does not exist on TPU (and
+        # XLA's gather for it costs 200+ ms per batch — measured).  But
+        # shift-by-start decomposes into its binary digits: for each bit
+        # b, roll the WHOLE block up by 2^b and keep the rolled copy only
+        # in lanes whose start has that bit — log2(range) select+roll
+        # passes over the bf16 storage (~20 ops), no gather anywhere.
+        # Rolled wrap-around garbage only ever reaches rows ≥ ns − start,
+        # which is ≥ the 1360 rows read (start ≤ ns − 1360 by clamp).
+        lp_r, lp_i, pkt_r, pkt_i = rest
+        total = C.PREAMBLE_SAMPLES + C.PACKET_SAMPLES
+        s = jnp.clip(jnp.where(detected, start, 0), 0, ns - total)
+        # rolls run on the f32 upcast (Mosaic's rotate is 32-bit-only);
+        # outputs downcast back to the storage dtype — exact for values
+        # that came in as bf16
+        cur_r, cur_i = xr, xi
+        nbits = max(1, int(np.ceil(np.log2(ns - total + 1))))
+        for b in range(nbits):
+            sh = 1 << b
+            # roll-up by sh ≡ roll-down by ns − sh (pltpu.roll requires
+            # a non-negative shift)
+            roll_r = pltpu.roll(cur_r, ns - sh, 0)
+            roll_i = pltpu.roll(cur_i, ns - sh, 0)
+            bit = jnp.bitwise_and(
+                jax.lax.shift_right_logical(s, b), 1) > 0   # (1, L)
+            cur_r = jnp.where(bit, roll_r, cur_r)
+            cur_i = jnp.where(bit, roll_i, cur_i)
+        lp_r[:] = cur_r[: C.PREAMBLE_SAMPLES].astype(lp_r.dtype)
+        lp_i[:] = cur_i[: C.PREAMBLE_SAMPLES].astype(lp_i.dtype)
+        pkt_r[:] = cur_r[C.PREAMBLE_SAMPLES : total].astype(pkt_r.dtype)
+        pkt_i[:] = cur_i[C.PREAMBLE_SAMPLES : total].astype(pkt_i.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("threshold", "search",
+                                             "advance", "align"))
+def _detect_call(xr, xi, wrr, wri, threshold, search, advance,
+                 align=False):
+    ns, b = xr.shape
+    ntile = b // LANES
+
+    def vspec(dim):
+        return pl.BlockSpec((dim, LANES), lambda i: (0, i),
+                            memory_space=pltpu.VMEM)
+
+    wspec = pl.BlockSpec((LAG, MF_CHUNK), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM)
+    out_specs = [vspec(1)] * 4
+    out_shape = [jax.ShapeDtypeStruct((1, b), jnp.int32)] * 3 + [
+        jax.ShapeDtypeStruct((1, b), jnp.float32)
+    ]
+    if align:
+        out_specs += [vspec(C.PREAMBLE_SAMPLES)] * 2 + [
+            vspec(C.PACKET_SAMPLES)
+        ] * 2
+        out_shape += [
+            jax.ShapeDtypeStruct((C.PREAMBLE_SAMPLES, b), xr.dtype)
+        ] * 2 + [jax.ShapeDtypeStruct((C.PACKET_SAMPLES, b), xr.dtype)] * 2
+    return pl.pallas_call(
+        functools.partial(_kernel, ns=ns, threshold=threshold,
+                          search=search, advance=advance, align=align),
+        grid=(ntile,),
+        in_specs=[vspec(ns), vspec(ns), wspec, wspec],
+        out_specs=out_specs,
+        out_shape=out_shape,
+    )(xr, xi, wrr, wri)
+
+
+def detect_streams(
+    x: Cplx,                      # (NS, B) lane-major raw streams
+    lts_ref: Cplx,                # (64,) known time-domain LTS
+    threshold: float = xla_detect.DEFAULT_THRESHOLD,
+    search: int = 192,
+    advance: int = 4,
+) -> dict:
+    """Lane-major fused detection: dict of (B,) arrays ``detected``
+    (bool), ``coarse``/``start`` (int32, −1 when undetected),
+    ``metric`` (f32) — ops/detect.py::detect_packet semantics at
+    kernel speed.  B must be a multiple of LANES; NS a multiple of 64."""
+    ns, b = x.shape
+    assert b % LANES == 0, (b, LANES)
+    assert ns % LAG == 0, ns
+    if not on_tpu():
+        res = xla_detect.detect_packet(
+            Cplx(x.re.T, x.im.T), lts_ref, threshold=threshold,
+            search=search, advance=advance)
+        return res
+    h_re = tuple(float(v) for v in np.asarray(lts_ref.re))
+    h_im = tuple(float(v) for v in np.asarray(lts_ref.im))
+    wrr, wri = _mf_bands((h_re, h_im))
+    det, coarse, start, metric = _detect_call(
+        x.re, x.im, jnp.asarray(wrr), jnp.asarray(wri),
+        threshold=float(threshold), search=int(search),
+        advance=int(advance))
+    return {
+        "detected": det[0] > 0,
+        "coarse": coarse[0],
+        "start": start[0],
+        "metric": metric[0],
+    }
+
+
+def detect_and_align(
+    x: Cplx,                      # (NS, B) lane-major raw streams
+    lts_ref: Cplx,
+    threshold: float = xla_detect.DEFAULT_THRESHOLD,
+    search: int = 192,
+    advance: int = 4,
+) -> tuple[dict, Cplx, Cplx]:
+    """Detection + per-stream extraction in ONE kernel pass: the raw
+    stream is read from HBM once; the per-lane barrel shifter aligns
+    each stream's packet in VMEM (see _kernel) and only the
+    (160, B) + (1200, B) aligned views leave.  Returns
+    (detection dict, lptot, packet) — undetected lanes are aligned at
+    offset 0 and flagged; gate on ``detected``."""
+    ns, b = x.shape
+    assert b % LANES == 0, (b, LANES)
+    assert ns % LAG == 0, ns
+    if not on_tpu():
+        res = xla_detect.detect_packet(
+            Cplx(x.re.T, x.im.T), lts_ref, threshold=threshold,
+            search=search, advance=advance)
+        start = jnp.maximum(jnp.asarray(res["start"], jnp.int32), 0)
+        lp, pkt = extract_lane_major(x, start)
+        return res, lp, pkt
+    h_re = tuple(float(v) for v in np.asarray(lts_ref.re))
+    h_im = tuple(float(v) for v in np.asarray(lts_ref.im))
+    wrr, wri = _mf_bands((h_re, h_im))
+    (det, coarse, start, metric, lp_r, lp_i, pkt_r, pkt_i) = _detect_call(
+        x.re, x.im, jnp.asarray(wrr), jnp.asarray(wri),
+        threshold=float(threshold), search=int(search),
+        advance=int(advance), align=True)
+    res = {
+        "detected": det[0] > 0,
+        "coarse": coarse[0],
+        "start": start[0],
+        "metric": metric[0],
+    }
+    return res, Cplx(lp_r, lp_i), Cplx(pkt_r, pkt_i)
+
+
+def extract_lane_major(x: Cplx, start: jnp.ndarray) -> tuple[Cplx, Cplx]:
+    """Slice (lptot (160, B), packet (1200, B)) at per-stream ``start``
+    from lane-major (NS, B) streams — one gather along the sample axis
+    (`take_along_axis`), feeding kernels/fused_chain.py directly."""
+    total = C.PREAMBLE_SAMPLES + C.PACKET_SAMPLES
+    ns = x.shape[0]
+    s = jnp.clip(start, 0, ns - total)
+    rows = s[None, :] + jnp.arange(total, dtype=start.dtype)[:, None]
+    fr = jnp.take_along_axis(x.re, rows, axis=0)
+    fi = jnp.take_along_axis(x.im, rows, axis=0)
+    lp = Cplx(fr[: C.PREAMBLE_SAMPLES], fi[: C.PREAMBLE_SAMPLES])
+    pkt = Cplx(fr[C.PREAMBLE_SAMPLES :], fi[C.PREAMBLE_SAMPLES :])
+    return lp, pkt
