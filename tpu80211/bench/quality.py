@@ -49,7 +49,12 @@ def quality_point(snr_db: float, batch: int = 512, seed: int = 0,
 
     ests = {"lt_ls": h_lt}
     for kind in KINDS:
-        ests[f"ps_{kind}"] = ps_interp(txb, rxb, kind)
+        # the Wiener estimator's prior matches the channel model + SNR
+        # being generated (wiener_matrix_for — the receiver would know
+        # its operating environment); other kinds ignore the kwargs
+        kw = ({"channel_model": channel_model, "snr_db": snr_db}
+              if kind == "wiener" else {})
+        ests[f"ps_{kind}"] = ps_interp(txb, rxb, kind, **kw)
     ests["ps_mmse"] = ps_mmse(txb, rxb, fb.ow2, h_lt)
 
     m = {"qpsk": 4, "qam16": 16, "qam64": 64}[modulation]

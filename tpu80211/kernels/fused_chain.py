@@ -332,30 +332,37 @@ def _out_specs_shapes(l, eq_dtype, vma=frozenset(), serve=False):
     return out_specs, out_shape
 
 
-def _const_specs():
+def _const_specs(wiener_model=None, wiener_snr_db=None):
     wspec = pl.BlockSpec((C.N_FFT, C.N_SC), lambda i: (0, 0),
                          memory_space=pltpu.VMEM)
     wispec = pl.BlockSpec((len(INTERP_KINDS), C.N_SC, 4), lambda i: (0, 0, 0),
                           memory_space=pltpu.VMEM)
     epspec = pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
     wre, wim = specmats.block_dft()
-    wstack = np.stack([interp_matrix(k).T for k in INTERP_KINDS])  # (5,53,4)
+    # (5,53,4); the Wiener entry carries the receiver's channel prior
+    wstack = np.stack([
+        interp_matrix(k, channel_model=wiener_model, snr_db=wiener_snr_db).T
+        for k in INTERP_KINDS
+    ])
     consts = (jnp.asarray(wre, jnp.float32), jnp.asarray(wim, jnp.float32),
               jnp.asarray(wstack.real, jnp.float32),
               jnp.asarray(wstack.imag, jnp.float32))
     return [wspec, wspec, wispec, wispec, epspec], consts
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "sync"))
+@functools.partial(jax.jit, static_argnames=("interpret", "sync",
+                                             "wiener_model",
+                                             "wiener_snr_db"))
 def _fused_call(txp_r, txp_i, rxp_r, rxp_i, txl_r, txl_i, rxl_r, rxl_i,
-                eps, interpret, sync=False):
+                eps, interpret, sync=False, wiener_model=None,
+                wiener_snr_db=None):
     ntile = txp_r.shape[-1] // LANES
 
     def vspec(dim):
         return pl.BlockSpec((dim, LANES), lambda i: (0, i),
                             memory_space=pltpu.VMEM)
 
-    cspecs, consts = _const_specs()
+    cspecs, consts = _const_specs(wiener_model, wiener_snr_db)
     vma = frozenset().union(*(jax.typeof(a).vma for a in (
         txp_r, txp_i, rxp_r, rxp_i, txl_r, txl_i, rxl_r, rxl_i, eps)))
     out_specs, out_shape = _out_specs_shapes(
@@ -377,10 +384,12 @@ def _fused_call(txp_r, txp_i, rxp_r, rxp_i, txl_r, txl_i, rxl_r, rxl_i,
     )
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "sync", "serve"))
+@functools.partial(jax.jit, static_argnames=("interpret", "sync", "serve",
+                                             "wiener_model",
+                                             "wiener_snr_db"))
 def _fused_call_txconst(txs_r, txs_i, tpc_r, tpc_i, rxp_r, rxp_i,
                         rxl_r, rxl_i, eps, interpret, sync=False,
-                        serve=False):
+                        serve=False, wiener_model=None, wiener_snr_db=None):
     ntile = rxp_r.shape[-1] // LANES
 
     def vspec(dim):
@@ -391,7 +400,7 @@ def _fused_call_txconst(txs_r, txs_i, tpc_r, tpc_i, rxp_r, rxp_i,
                          memory_space=pltpu.VMEM)
     pspec = pl.BlockSpec((C.N_SC, 1), lambda i: (0, 0),
                          memory_space=pltpu.VMEM)
-    cspecs, consts = _const_specs()
+    cspecs, consts = _const_specs(wiener_model, wiener_snr_db)
     vma = frozenset().union(*(jax.typeof(a).vma for a in (
         txs_r, txs_i, tpc_r, tpc_i, rxp_r, rxp_i, rxl_r, rxl_i, eps)))
     out_specs, out_shape = _out_specs_shapes(
@@ -437,7 +446,9 @@ def _pack_outputs(outs, serve: bool = False):
 
 def fused_rx_chain_lane_major(tx_pkt: Cplx, rx_pkt: Cplx,
                               tx_lp: Cplx, rx_lp: Cplx, eps=0.0,
-                              sync: bool = False):
+                              sync: bool = False,
+                              wiener_model: str | None = None,
+                              wiener_snr_db: float | None = None):
     """Lane-major entry: packets (1200, B), preambles (160, B); B must be
     a multiple of LANES.  Returns a dict of lane-major outputs:
     h_* (53, B) Cplx, eq (15, 53, B) Cplx, ow2/cfo/checksum (B,).
@@ -458,6 +469,7 @@ def fused_rx_chain_lane_major(tx_pkt: Cplx, rx_pkt: Cplx,
         tx_pkt.re, tx_pkt.im, rx_pkt.re, rx_pkt.im,
         tx_lp.re, tx_lp.im, rx_lp.re, rx_lp.im, eps,
         interpret=not on_tpu(), sync=sync,
+        wiener_model=wiener_model, wiener_snr_db=wiener_snr_db,
     )
     return _pack_outputs(outs)
 
@@ -500,7 +512,9 @@ def tx_spectra(tx_pkt: Cplx, tx_lp: Cplx) -> tuple[Cplx, Cplx]:
 
 def fused_rx_chain_txconst(txs: Cplx, tpre: Cplx, rx_pkt: Cplx,
                            rx_lp: Cplx, eps=0.0, sync: bool = False,
-                           serve: bool = False):
+                           serve: bool = False,
+                           wiener_model: str | None = None,
+                           wiener_snr_db: float | None = None):
     """tx-constant lane-major entry: the whole stream shares one known
     transmit packet, passed as precomputed spectra (see `tx_spectra`) —
     input HBM traffic halves vs `fused_rx_chain_lane_major`.
@@ -525,6 +539,7 @@ def fused_rx_chain_txconst(txs: Cplx, tpre: Cplx, rx_pkt: Cplx,
         txs.re, txs.im, tpre.re, tpre.im,
         rx_pkt.re, rx_pkt.im, rx_lp.re, rx_lp.im, eps,
         interpret=not on_tpu(), sync=sync, serve=serve,
+        wiener_model=wiener_model, wiener_snr_db=wiener_snr_db,
     )
     return _pack_outputs(outs, serve=serve)
 

@@ -360,7 +360,13 @@ def _gen_call(txs_r, txs_i, tpc_r, tpc_i, seed, batch, snr_db, eq_dtype,
     sspec = pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
 
     wcr, wci = _cfr_mats(n_taps)
-    wstack = np.stack([interp_matrix(k).T for k in INTERP_KINDS])
+    # the Wiener interpolator's prior matches the channel model + SNR the
+    # kernel itself synthesizes (VERDICT round-3 weak#5 — a trace-time
+    # constant, so conditioning it costs nothing)
+    wstack = np.stack([
+        interp_matrix(k, channel_model=channel_model, snr_db=snr_db).T
+        for k in INTERP_KINDS
+    ])
     if stream_sums:
         # stream mode: summaries accumulate in-kernel; the full h planes,
         # eq, ow2 and h_true collapse to single tiles (only the sampled
@@ -523,6 +529,7 @@ def _gen_chain_jax(seed, batch, txs, tpre, snr_db, eq_dtype,
              jnp.broadcast_to(tpre.im, (C.N_SC, batch)).T),
         Cplx(rpre.re.T, rpre.im.T),
         tx_blocks, rx_blocks, ow2,
+        wiener_model=channel_model, wiener_snr_db=snr_db,
     )
     res = {}
     for name in _OUT_NAMES:

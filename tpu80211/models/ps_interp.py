@@ -39,9 +39,15 @@ def ps_interp_per_block(
     rx: jnp.ndarray,  # (..., 53)
     kind: str,
     mode: EstimatorMode = EstimatorMode.MATH,
+    channel_model: str | None = None,
+    snr_db: float | None = None,
 ) -> jnp.ndarray:
     """Single-block estimate, (..., 53)."""
-    w = jnp.asarray(interp_matrix(kind, mode), dtype=tx.dtype)  # (4, 53)
+    w = jnp.asarray(
+        interp_matrix(kind, mode, channel_model=channel_model,
+                      snr_db=snr_db),
+        dtype=tx.dtype,
+    )  # (4, 53)
     hp = pilot_ratios(tx, rx)
     return hp @ w
 
@@ -52,16 +58,20 @@ def ps_interp(
     kind: str,
     mode: EstimatorMode = EstimatorMode.MATH,
     avg_blocks: int = C.N_AVG_BLOCKS,
+    channel_model: str | None = None,
+    snr_db: float | None = None,
 ) -> jnp.ndarray:
     """Frame-level estimate: per-block interpolation, averaged over the
     first ``avg_blocks`` blocks (..._PS_Linear.m:23), shape (..., 53).
 
     In C-parity mode the reference processes only block 0 (main.c:16,29-33
     — SURVEY.md §2.5.8), i.e. ``avg_blocks=1``.
+    ``channel_model``/``snr_db``: the Wiener prior (kind="wiener" only).
     """
     if mode == EstimatorMode.C_PARITY:
         avg_blocks = 1
     h = ps_interp_per_block(
-        tx_blocks[..., :avg_blocks, :], rx_blocks[..., :avg_blocks, :], kind, mode
+        tx_blocks[..., :avg_blocks, :], rx_blocks[..., :avg_blocks, :],
+        kind, mode, channel_model=channel_model, snr_db=snr_db,
     )
     return jnp.mean(h, axis=-2)

@@ -103,15 +103,19 @@ def ps_interp(
     kind: str,
     mode: EstimatorMode = EstimatorMode.MATH,
     avg_blocks: int = C.N_AVG_BLOCKS,
+    channel_model: str | None = None,
+    snr_db: float | None = None,
 ) -> Cplx:
     """Pilot-LS + static-matrix interpolation, averaged over the first
-    ``avg_blocks`` blocks (…, 53)."""
+    ``avg_blocks`` blocks (…, 53).  ``channel_model``/``snr_db``: the
+    receiver's channel prior for kind="wiener" (ops/interp.py)."""
     if mode == EstimatorMode.C_PARITY:
         avg_blocks = 1
     hp = pilot_ratios(
         tx_blocks[..., :avg_blocks, :], rx_blocks[..., :avg_blocks, :]
     )  # (…, avg, 4)
-    w = interp_matrix(kind, mode)  # (4, 53); complex for kind="wiener"
+    # (4, 53); complex for kind="wiener"
+    w = interp_matrix(kind, mode, channel_model=channel_model, snr_db=snr_db)
     # interpolation is linear: mean-of-interpolated == interpolate-the-mean
     # (WiFi_channel_estimation_PS_Linear.m:23 averages the interpolated
     # blocks; doing the 4-block mean first saves 3/4 of the matmul work)
@@ -288,18 +292,23 @@ def rx_chain_freq(
     ow2: jnp.ndarray,  # (…,)
     avg_blocks: int = C.N_AVG_BLOCKS,
     equalize_with: str = "h_linear",
+    wiener_model: str | None = None,
+    wiener_snr_db: float | None = None,
 ) -> RxOutputs:
     """Frequency-domain entry (the C drivers' view, inputs.h:20-928):
     skips the front end, runs estimators + equalization.  Semantics are
     MATH-mode (sc implements MATH + MATLAB via ps_mmse_sm's mode arg);
     ``equalize_with`` defaults to the golden model's PS-Linear
-    (WiFi_RX.m:60)."""
+    (WiFi_RX.m:60).  ``wiener_model``/``wiener_snr_db``: the Wiener
+    estimator's channel prior (ops/interp.py::wiener_matrix_for;
+    defaults = the legacy prior)."""
     h_lt = lt_ls(tx_pre, rx_pre)
     h_lin = ps_interp(tx_blocks, rx_blocks, "linear", avg_blocks=avg_blocks)
     h_cub = ps_interp(tx_blocks, rx_blocks, "cubic", avg_blocks=avg_blocks)
     h_sin = ps_interp(tx_blocks, rx_blocks, "sinc", avg_blocks=avg_blocks)
     h_spl = ps_interp(tx_blocks, rx_blocks, "spline", avg_blocks=avg_blocks)
-    h_wie = ps_interp(tx_blocks, rx_blocks, "wiener", avg_blocks=avg_blocks)
+    h_wie = ps_interp(tx_blocks, rx_blocks, "wiener", avg_blocks=avg_blocks,
+                      channel_model=wiener_model, snr_db=wiener_snr_db)
     h_mmse = ps_mmse_sm(tx_blocks, rx_blocks, ow2, h_lt, avg_blocks=avg_blocks)
     h_ps = {
         "h_linear": h_lin, "h_cubic": h_cub, "h_sinc": h_sin,
