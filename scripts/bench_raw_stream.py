@@ -148,6 +148,50 @@ def main():
     }
     print(json.dumps({"system": out["system"]}))
 
+    # ---- fully-fused single-kernel system (kernels/raw_chain.py) ------
+    from tpu80211.kernels.raw_chain import raw_rx_txconst_fused
+
+    fused_out = raw_rx_txconst_fused(x, lts, txs, tpre)
+    assert np.isfinite(np.asarray(fused_out["checksum"])).all()
+    errf = np.asarray(fused_out["start"]) - offs
+    assert errf.min() >= -4 and errf.max() <= -2, (errf.min(), errf.max())
+
+    @jax.jit
+    def step_fused_x(x, s, inc):
+        r = raw_rx_txconst_fused(x, lts, txs, tpre, eps=s + inc)
+        return jnp.tanh(jnp.sum(r["checksum"])) * 1e-9
+
+    def step_fused(s, inc):
+        return step_fused_x(x, s, inc)
+
+    s = step_fused(jnp.float32(0.0), incs[0])
+    float(s)
+    dt = _marginal(step_fused, iters, s, incs)
+    out["system_fused"] = {
+        "frames_per_s": round(batch * iters / dt, 1),
+        "ms_per_step": round(1e3 * dt / iters, 4),
+    }
+    print(json.dumps({"system_fused": out["system_fused"]}))
+
+    # serving shape of the fused system (minimum-HBM output contract)
+    @jax.jit
+    def step_fused_serve_x(x, s, inc):
+        r = raw_rx_txconst_fused(x, lts, txs, tpre, eps=s + inc,
+                                 serve=True)
+        return jnp.tanh(jnp.sum(r["checksum"])) * 1e-9
+
+    def step_fused_serve(s, inc):
+        return step_fused_serve_x(x, s, inc)
+
+    s = step_fused_serve(jnp.float32(0.0), incs[0])
+    float(s)
+    dt = _marginal(step_fused_serve, iters, s, incs)
+    out["system_fused_serve"] = {
+        "frames_per_s": round(batch * iters / dt, 1),
+        "ms_per_step": round(1e3 * dt / iters, 4),
+    }
+    print(json.dumps({"system_fused_serve": out["system_fused_serve"]}))
+
     path = pathlib.Path(__file__).resolve().parents[1] / "artifacts"
     path.mkdir(exist_ok=True)
     (path / "raw_stream_throughput.json").write_text(json.dumps(out, indent=1))

@@ -249,6 +249,19 @@ def test_detect_kernel_matches_xla_on_tpu(capture):
         wantp = np.stack([x[l, starts[l] + 160:starts[l] + 1360].imag
                           for l in range(B)], axis=1).astype(np.float32)
         assert np.abs(np.asarray(pkt.im) - wantp).max() < 1e-7
+        # the fully-fused one-kernel receiver == the staged pipeline
+        from tpu80211.kernels.fused_chain import tx_spectra
+        from tpu80211.kernels.raw_chain import raw_rx_txconst_fused
+        from tpu80211.pipeline.raw import raw_rx_txconst
+        txs, tpre = tx_spectra(
+            Cplx.from_complex(cap.tx_packet, jnp.float32),
+            Cplx.from_complex(cap.tx_lptot, jnp.float32))
+        a = raw_rx_txconst(xc, lts, txs, tpre)
+        b2 = raw_rx_txconst_fused(xc, lts, txs, tpre)
+        assert (np.asarray(a["start"]) == np.asarray(b2["start"])).all()
+        for k in ("h_mmse", "h_wiener", "eq"):
+            assert np.array_equal(np.asarray(a[k].re),
+                                  np.asarray(b2[k].re)), k
         print("TPU_OK")
     """)
     import pytest

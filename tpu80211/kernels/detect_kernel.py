@@ -95,12 +95,12 @@ def _argmax_first(vals):
     return _first_true(vals >= m, vals.shape[0])
 
 
-def _kernel(xr_ref, xi_ref, wrr_ref, wri_ref,
-            det_out, coarse_out, start_out, metric_out, *rest,
-            ns, threshold, search, advance, align=False):
+def _detect_core(xr, xi, wrr, wri, *, ns, threshold, search, advance):
+    """The detection math on f32 (ns, L) value tensors; returns
+    (det (1,L) int32, coarse, start, peak_m) — shared by the standalone
+    kernel below and the fully-fused raw-chain kernel
+    (kernels/raw_chain.py)."""
     f32 = jnp.float32
-    xr = xr_ref[:].astype(f32)                      # (ns, L)
-    xi = xi_ref[:].astype(f32)
 
     # ---- Schmidl&Cox lag-64 normalized autocorrelation ----------------
     ar, ai = xr[:-LAG], xi[:-LAG]                   # (ns-64, L)
@@ -117,8 +117,6 @@ def _kernel(xr_ref, xi_ref, wrr_ref, wri_ref,
     coarse = _first_true(above, nm)                 # nm when none (gated)
 
     # ---- LTS matched filter as chunked full-depth MXU dots ------------
-    wrr = wrr_ref[:]                                # (64, 128)
-    wri = wri_ref[:]
     n_mf = ns - LAG + 1
     n_chunks = (ns - MF_CHUNK) // LAG + 1           # offsets 0..64·n-1
     mf_rows = []
@@ -149,6 +147,47 @@ def _kernel(xr_ref, xi_ref, wrr_ref, wri_ref,
     idx_m = jax.lax.broadcasted_iota(jnp.int32, (nm, 1), 0)
     mask_m = jnp.logical_and(idx_m >= lo, idx_m < lo + 2 * search)
     peak_m = jnp.max(jnp.where(mask_m, m, 0.0), axis=0, keepdims=True)
+    return det, coarse, start, peak_m
+
+
+def _barrel_align(xr, xi, s, ns):
+    """Per-lane extraction by barrel shift, entirely in VMEM.
+
+    A per-lane dynamic sublane slice does not exist on TPU (and XLA's
+    gather for it costs 200+ ms per batch — measured).  But
+    shift-by-start decomposes into its binary digits: for each bit b,
+    roll the WHOLE block up by 2^b and keep the rolled copy only in
+    lanes whose start has that bit — log2(range) select+roll passes
+    (~20 ops), no gather anywhere.  Rolled wrap-around garbage only
+    ever reaches rows ≥ ns − start, which is ≥ the 1360 rows read
+    (start ≤ ns − 1360 by the caller's clamp).  ``xr``/``xi`` must be
+    f32/int32-width (Mosaic's rotate is 32-bit-only).  Returns the
+    aligned (ns, L) planes; rows ≥ 1360 are garbage."""
+    total = C.PREAMBLE_SAMPLES + C.PACKET_SAMPLES
+    cur_r, cur_i = xr, xi
+    nbits = max(1, int(np.ceil(np.log2(ns - total + 1))))
+    for b in range(nbits):
+        sh = 1 << b
+        # roll-up by sh ≡ roll-down by ns − sh (pltpu.roll requires a
+        # non-negative shift)
+        roll_r = pltpu.roll(cur_r, ns - sh, 0)
+        roll_i = pltpu.roll(cur_i, ns - sh, 0)
+        bit = jnp.bitwise_and(
+            jax.lax.shift_right_logical(s, b), 1) > 0   # (1, L)
+        cur_r = jnp.where(bit, roll_r, cur_r)
+        cur_i = jnp.where(bit, roll_i, cur_i)
+    return cur_r, cur_i
+
+
+def _kernel(xr_ref, xi_ref, wrr_ref, wri_ref,
+            det_out, coarse_out, start_out, metric_out, *rest,
+            ns, threshold, search, advance, align=False):
+    f32 = jnp.float32
+    xr = xr_ref[:].astype(f32)                      # (ns, L)
+    xi = xi_ref[:].astype(f32)
+    det, coarse, start, peak_m = _detect_core(
+        xr, xi, wrr_ref[:], wri_ref[:], ns=ns, threshold=threshold,
+        search=search, advance=advance)
 
     detected = det > 0
     det_out[:] = det
@@ -157,33 +196,10 @@ def _kernel(xr_ref, xi_ref, wrr_ref, wri_ref,
     metric_out[:] = peak_m
 
     if align:
-        # ---- per-lane barrel-shift extraction, entirely in VMEM -------
-        # A per-lane dynamic sublane slice does not exist on TPU (and
-        # XLA's gather for it costs 200+ ms per batch — measured).  But
-        # shift-by-start decomposes into its binary digits: for each bit
-        # b, roll the WHOLE block up by 2^b and keep the rolled copy only
-        # in lanes whose start has that bit — log2(range) select+roll
-        # passes over the bf16 storage (~20 ops), no gather anywhere.
-        # Rolled wrap-around garbage only ever reaches rows ≥ ns − start,
-        # which is ≥ the 1360 rows read (start ≤ ns − 1360 by clamp).
         lp_r, lp_i, pkt_r, pkt_i = rest
         total = C.PREAMBLE_SAMPLES + C.PACKET_SAMPLES
         s = jnp.clip(jnp.where(detected, start, 0), 0, ns - total)
-        # rolls run on the f32 upcast (Mosaic's rotate is 32-bit-only);
-        # outputs downcast back to the storage dtype — exact for values
-        # that came in as bf16
-        cur_r, cur_i = xr, xi
-        nbits = max(1, int(np.ceil(np.log2(ns - total + 1))))
-        for b in range(nbits):
-            sh = 1 << b
-            # roll-up by sh ≡ roll-down by ns − sh (pltpu.roll requires
-            # a non-negative shift)
-            roll_r = pltpu.roll(cur_r, ns - sh, 0)
-            roll_i = pltpu.roll(cur_i, ns - sh, 0)
-            bit = jnp.bitwise_and(
-                jax.lax.shift_right_logical(s, b), 1) > 0   # (1, L)
-            cur_r = jnp.where(bit, roll_r, cur_r)
-            cur_i = jnp.where(bit, roll_i, cur_i)
+        cur_r, cur_i = _barrel_align(xr, xi, s, ns)
         lp_r[:] = cur_r[: C.PREAMBLE_SAMPLES].astype(lp_r.dtype)
         lp_i[:] = cur_i[: C.PREAMBLE_SAMPLES].astype(lp_i.dtype)
         pkt_r[:] = cur_r[C.PREAMBLE_SAMPLES : total].astype(pkt_r.dtype)

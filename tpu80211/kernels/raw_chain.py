@@ -1,0 +1,148 @@
+"""Fully-fused raw receiver kernel: raw streams → estimates, ONE pass.
+
+pipeline/raw.py's staged system (detect+align kernel → chain kernel)
+round-trips the 1360 aligned samples per stream through HBM between the
+two kernels (~356 MB at B=32768 bf16).  This kernel removes that: for a
+tile of 128 streams, detection (kernels/detect_kernel._detect_core),
+barrel-shift alignment (._barrel_align) and the full tx-constant chain
+(kernels/fused_chain._kernel, whose body is polymorphic over refs and
+VMEM values) run in a single Pallas invocation — the raw samples are
+read from HBM exactly once and only the estimates leave.
+
+The chain consumes the aligned packet as bf16 VALUES in VMEM (cast back
+from the f32 barrel-shift planes), so its DFT matmuls keep the bf16
+single-pass MXU path.  Output contract = fused_rx_chain_txconst's dict
+plus the detection rows; ``serve=True`` drops the same diagnostic
+planes (None).
+
+On non-TPU backends `raw_rx_txconst_fused` falls back to the staged
+pipeline (identical math): pipeline/raw.py::raw_rx_txconst.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from tpu80211 import constants as C
+from tpu80211.cplx import Cplx
+from tpu80211.kernels import on_tpu
+from tpu80211.kernels import fused_chain as fc
+from tpu80211.kernels import detect_kernel as dk
+
+LANES = fc.LANES
+
+
+def _raw_kernel(xr_ref, xi_ref, wrr_ref, wri_ref,
+                txs_r, txs_i, tpc_r, tpc_i,
+                wre_ref, wim_ref, winre_ref, winim_ref, eps_ref,
+                det_out, coarse_out, start_out, metric_out,
+                *chain_outs, ns, threshold, search, advance, sync):
+    f32 = jnp.float32
+    xr = xr_ref[:].astype(f32)
+    xi = xi_ref[:].astype(f32)
+    det, coarse, start, peak_m = dk._detect_core(
+        xr, xi, wrr_ref[:], wri_ref[:], ns=ns, threshold=threshold,
+        search=search, advance=advance)
+    detected = det > 0
+    det_out[:] = det
+    coarse_out[:] = jnp.where(detected, coarse, -1)
+    start_out[:] = jnp.where(detected, start, -1)
+    metric_out[:] = peak_m
+
+    total = C.PREAMBLE_SAMPLES + C.PACKET_SAMPLES
+    s = jnp.clip(jnp.where(detected, start, 0), 0, ns - total)
+    cur_r, cur_i = dk._barrel_align(xr, xi, s, ns)
+    # hand the chain body bf16 VALUES so its DFTs take the single-pass
+    # bf16 MXU path (fused_chain._kernel slices/reads work on values)
+    store = xr_ref.dtype
+    lp_r = cur_r[: C.PREAMBLE_SAMPLES].astype(store)
+    lp_i = cur_i[: C.PREAMBLE_SAMPLES].astype(store)
+    pkt_r = cur_r[C.PREAMBLE_SAMPLES : total].astype(store)
+    pkt_i = cur_i[C.PREAMBLE_SAMPLES : total].astype(store)
+    fc._kernel(
+        txs_r, txs_i, tpc_r, tpc_i, pkt_r, pkt_i, lp_r, lp_i,
+        wre_ref, wim_ref, winre_ref, winim_ref, eps_ref,
+        *chain_outs, tx_const=True, sync=sync,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "threshold", "search", "advance", "sync", "serve",
+    "wiener_model", "wiener_snr_db"))
+def _raw_call(xr, xi, wrr, wri, txs_r, txs_i, tpc_r, tpc_i, eps,
+              threshold, search, advance, sync=False, serve=False,
+              wiener_model=None, wiener_snr_db=None):
+    ns, b = xr.shape
+    ntile = b // LANES
+
+    def vspec(dim):
+        return pl.BlockSpec((dim, LANES), lambda i: (0, i),
+                            memory_space=pltpu.VMEM)
+
+    wspec = pl.BlockSpec((dk.LAG, dk.MF_CHUNK), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM)
+    tspec = pl.BlockSpec((C.N_SC, fc.NB_PAD), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM)
+    pspec = pl.BlockSpec((C.N_SC, 1), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM)
+    cspecs, consts = fc._const_specs(wiener_model, wiener_snr_db)
+    chain_specs, chain_shape = fc._out_specs_shapes(b, xr.dtype, serve=serve)
+    out_specs = [vspec(1)] * 4 + list(chain_specs)
+    out_shape = (
+        [jax.ShapeDtypeStruct((1, b), jnp.int32)] * 3
+        + [jax.ShapeDtypeStruct((1, b), jnp.float32)]
+        + list(chain_shape)
+    )
+    return pl.pallas_call(
+        functools.partial(_raw_kernel, ns=ns, threshold=threshold,
+                          search=search, advance=advance, sync=sync),
+        grid=(ntile,),
+        in_specs=[vspec(ns), vspec(ns), wspec, wspec,
+                  tspec, tspec, pspec, pspec] + cspecs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+    )(xr, xi, wrr, wri, txs_r, txs_i, tpc_r, tpc_i, *consts,
+      jnp.reshape(jnp.asarray(eps, jnp.float32), (1, 1)))
+
+
+def raw_rx_txconst_fused(
+    x: Cplx, lts_ref: Cplx, txs: Cplx, tpre: Cplx,
+    threshold: float = None, search: int = 192, advance: int = 4,
+    eps=0.0, sync: bool = False, serve: bool = False,
+    wiener_model: str | None = None, wiener_snr_db: float | None = None,
+) -> dict:
+    """One-kernel raw receiver: lane-major (NS, B) streams →
+    fused_rx_chain_txconst's output dict + detected/start/metric rows.
+    Falls back to the staged pipeline off-TPU."""
+    from tpu80211.ops.detect import DEFAULT_THRESHOLD
+
+    thr = DEFAULT_THRESHOLD if threshold is None else threshold
+    if not on_tpu():
+        from tpu80211.pipeline.raw import raw_rx_txconst
+
+        return raw_rx_txconst(x, lts_ref, txs, tpre, threshold=thr,
+                              eps=eps, serve=serve)
+    ns, b = x.shape
+    assert b % LANES == 0, (b, LANES)
+    assert ns % dk.LAG == 0, ns
+    h_re = tuple(float(v) for v in np.asarray(lts_ref.re))
+    h_im = tuple(float(v) for v in np.asarray(lts_ref.im))
+    wrr, wri = dk._mf_bands((h_re, h_im))
+    outs = _raw_call(
+        x.re, x.im, jnp.asarray(wrr), jnp.asarray(wri),
+        txs.re, txs.im, tpre.re, tpre.im, eps,
+        threshold=float(thr), search=int(search), advance=int(advance),
+        sync=sync, serve=serve, wiener_model=wiener_model,
+        wiener_snr_db=wiener_snr_db)
+    det, coarse, start, metric = outs[:4]
+    res = fc._pack_outputs(outs[4:], serve=serve)
+    res["detected"] = det[0] > 0
+    res["start"] = start[0]
+    res["metric"] = metric[0]
+    return res
