@@ -199,6 +199,57 @@ def test_raw_rx_pipeline_matches_prealigned(capture):
     np.testing.assert_allclose(got, ref_h, rtol=1e-4, atol=1e-6)
 
 
+def test_raw_rx_under_shard_map(capture):
+    """The raw receiver composes with a dp-sharded mesh (streams split
+    across devices; detection is embarrassingly parallel) — sharded ==
+    unsharded on the virtual CPU mesh."""
+    import jax
+    from jax.sharding import PartitionSpec as P
+
+    from tpu80211.kernels.fused_chain import tx_spectra
+    from tpu80211.parallel import make_mesh
+    from tpu80211.pipeline import raw
+
+    rng = np.random.default_rng(11)
+    b = 256  # 128 per shard (the kernel's LANES minimum)
+    frame = np.concatenate([capture.rx_lptot, capture.rx_packet])
+    stream = _noise(rng, (b, N), 1e-4)
+    offs = rng.integers(50, N - 1400, b)
+    for i, o in enumerate(offs):
+        stream[i, o:o + 1360] += frame
+    x = Cplx.from_complex(np.ascontiguousarray(stream.T), jnp.float32)
+    lts = detect.lts_time_symbol(capture.tx_lptot)
+    lts = Cplx(jnp.asarray(lts.re, jnp.float32),
+               jnp.asarray(lts.im, jnp.float32))
+    txs, tpre = tx_spectra(Cplx.from_complex(capture.tx_packet, jnp.float32),
+                           Cplx.from_complex(capture.tx_lptot, jnp.float32))
+
+    want = raw.raw_rx_txconst(x, lts, txs, tpre)
+
+    mesh = make_mesh(dp=2, blk=1, devices=jax.devices()[:2])
+    lane2 = Cplx(P(None, "dp"), P(None, "dp"))
+    out_specs = {
+        **{k: lane2 for k in ("h_lt", "h_linear", "h_cubic", "h_sinc",
+                              "h_spline", "h_wiener", "h_mmse")},
+        "eq": Cplx(P(None, None, "dp"), P(None, None, "dp")),
+        "ow2": P("dp"), "cfo": P("dp"), "checksum": P("dp"),
+        "detected": P("dp"), "start": P("dp"), "metric": P("dp"),
+    }
+    mapped = jax.shard_map(
+        lambda xs: raw.raw_rx_txconst(xs, lts, txs, tpre),
+        mesh=mesh, in_specs=(lane2,), out_specs=out_specs,
+        check_vma=False,  # interpret-mode pallas vma limitation (CPU)
+    )
+    got = mapped(x)
+    np.testing.assert_array_equal(np.asarray(got["start"]),
+                                  np.asarray(want["start"]))
+    np.testing.assert_allclose(np.asarray(got["h_mmse"].re),
+                               np.asarray(want["h_mmse"].re),
+                               rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(got["checksum"]),
+                               np.asarray(want["checksum"]), rtol=1e-5)
+
+
 def test_detect_kernel_matches_xla_on_tpu(capture):
     """Full-size fused detection + barrel-shift alignment vs the XLA
     path, on the real chip (skips without one)."""

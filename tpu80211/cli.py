@@ -123,6 +123,21 @@ def _build_parser() -> argparse.ArgumentParser:
                     help="data-subcarrier constellation (Gray-coded BER; "
                          "the reference is QPSK-only)")
 
+    raw = sub.add_parser("raw", help="raw-sample-stream receiver demo: "
+                         "synthesize streams with the capture embedded at "
+                         "random offsets, run the one-kernel "
+                         "detect+align+chain receiver (kernels/raw_chain.py)")
+    raw.add_argument("--batch", type=int, default=512,
+                     help="number of streams (rounded up to 128)")
+    raw.add_argument("--ns", type=int, default=2048,
+                     help="samples per stream (multiple of 64)")
+    raw.add_argument("--noise-amp", type=float, default=1e-4,
+                     help="AWGN amplitude under the embedded capture")
+    raw.add_argument("--threshold", type=float, default=None,
+                     help="detection threshold on the normalized metric "
+                          "(default: ops/detect.py's 0.5)")
+    raw.add_argument("--seed", type=int, default=0)
+
     sub.add_parser("devices", help="show backend devices")
     return p
 
@@ -382,6 +397,55 @@ def _cmd_quality(args) -> int:
     return 0
 
 
+def _cmd_raw(args) -> int:
+    """Raw-stream receiver demo: streams in, detection + estimates out."""
+    import json as _json
+
+    import jax.numpy as jnp
+
+    from tpu80211.cplx import Cplx
+    from tpu80211.datasets.loader import load_capture
+    from tpu80211.kernels.fused_chain import tx_spectra
+    from tpu80211.kernels.raw_chain import raw_rx_txconst_fused
+    from tpu80211.ops.detect import lts_time_symbol
+
+    b = -(-args.batch // 128) * 128
+    ns = args.ns
+    assert ns % 64 == 0, "--ns must be a multiple of 64"
+    cap = load_capture()
+    rng = np.random.default_rng(args.seed)
+    frame = np.concatenate([cap.rx_lptot, cap.rx_packet])
+    x = (rng.standard_normal((b, ns))
+         + 1j * rng.standard_normal((b, ns))) * args.noise_amp
+    offs = rng.integers(40, ns - 1400, b)
+    for i, o in enumerate(offs):
+        x[i, o : o + 1360] += frame
+    xc = Cplx.from_complex(np.ascontiguousarray(x.T), jnp.float32)
+    lts = lts_time_symbol(cap.tx_lptot)
+    lts = Cplx(jnp.asarray(lts.re, jnp.float32),
+               jnp.asarray(lts.im, jnp.float32))
+    txs, tpre = tx_spectra(Cplx.from_complex(cap.tx_packet, jnp.float32),
+                           Cplx.from_complex(cap.tx_lptot, jnp.float32))
+    t0 = time.perf_counter()
+    out = raw_rx_txconst_fused(xc, lts, txs, tpre, threshold=args.threshold)
+    err = np.asarray(out["start"]) - offs
+    dt = time.perf_counter() - t0
+    det = np.asarray(out["detected"])
+    print(_json.dumps({
+        "streams": b, "ns": ns,
+        "detected": int(det.sum()),
+        "timing_err_min": int(err[det].min()) if det.any() else None,
+        "timing_err_max": int(err[det].max()) if det.any() else None,
+        "metric_mean": round(float(np.asarray(out["metric"]).mean()), 4),
+        "h_mmse_mean_abs": round(
+            float(np.abs(np.asarray(out["h_mmse"].re)).mean()), 6),
+        "wall_s": round(dt, 3),
+        "note": "wall_s includes compile on first run; see "
+                "scripts/bench_raw_stream.py for honest throughput",
+    }))
+    return 0
+
+
 def _cmd_devices(_args) -> int:
     import jax
 
@@ -409,6 +473,7 @@ def main(argv=None) -> int:
         "plot": _cmd_plot,
         "sync": _cmd_sync,
         "quality": _cmd_quality,
+        "raw": _cmd_raw,
         "devices": _cmd_devices,
     }[args.cmd](args)
 
