@@ -52,7 +52,7 @@ def main():
             summary, sample_h, st = step(i, st)
             last = summary
         # fence: read a value data-dependent on the whole chain of steps
-        float(last["h_mmse_nmse"])
+        float(next(iter(last.values())))
         float(int(st))
         return time.perf_counter() - t0
 
@@ -76,8 +76,12 @@ def main():
         os.environ.get("TPU80211_ARTIFACTS_DIR")
         or pathlib.Path(__file__).resolve().parents[1] / "artifacts")
     path.mkdir(exist_ok=True)
-    (path / "stream_throughput.json").write_text(json.dumps(out, indent=1))
-    print(json.dumps({"wrote": str(path / "stream_throughput.json")}))
+    # non-default generators get their own artifact (a 'raw' run must
+    # not clobber the kernel-generator system record)
+    name = ("stream_throughput.json" if gen == "kernel"
+            else f"stream_throughput_{gen}.json")
+    (path / name).write_text(json.dumps(out, indent=1))
+    print(json.dumps({"wrote": str(path / name)}))
 
 
 if __name__ == "__main__":

@@ -109,6 +109,7 @@ def generate_rx_lane_major(
     key, batch: int, txs: Cplx, tpre: Cplx,
     snr_db: float = 20.0, dtype=jnp.bfloat16,
     channel_model: str | None = None,
+    noise: bool = True,
 ):
     """Synthesize one lane-major rx batch through a fresh channel.
 
@@ -117,6 +118,8 @@ def generate_rx_lane_major(
     ``channel_model`` ∈ {None, 'A'..'E'} (ops/channel.py).
     Returns (rx_pkt (1200, B) Cplx, rx_lp (160, B) Cplx, h (53, B) Cplx)
     with packet/preamble planes in ``dtype`` storage and h in f32.
+    ``noise=False`` returns the clean channel-filtered frame (the raw
+    stream generator adds noise over the whole stream instead).
     """
     k_ch, k_np, k_nl = jax.random.split(key, 3)
     h = channel_cfr(k_ch, batch, channel_model)        # (53, B) f32
@@ -147,7 +150,8 @@ def generate_rx_lane_major(
         jnp.concatenate([p.re for p in pieces], axis=0),
         jnp.concatenate([p.im for p in pieces], axis=0),
     )
-    pkt = pkt + _noise(k_np, (C.PACKET_SAMPLES, batch))
+    if noise:
+        pkt = pkt + _noise(k_np, (C.PACKET_SAMPLES, batch))
 
     # long preamble: LTS·H → 64-sample symbol, layout [last 32 | rep | rep]
     # (synthetic.synthesize_preamble_time), independent noise per sample —
@@ -157,6 +161,57 @@ def generate_rx_lane_major(
         jnp.concatenate([t64.re[-32:], t64.re, t64.re], axis=0),
         jnp.concatenate([t64.im[-32:], t64.im, t64.im], axis=0),
     )
-    lp = lp + _noise(k_nl, (C.PREAMBLE_SAMPLES, batch))
+    if noise:
+        lp = lp + _noise(k_nl, (C.PREAMBLE_SAMPLES, batch))
 
     return pkt.astype(dtype), lp.astype(dtype), h
+
+
+def generate_raw_lane_major(
+    key, batch: int, txs: Cplx, tpre: Cplx,
+    ns: int = 2048, snr_db: float = 20.0, dtype=jnp.bfloat16,
+    channel_model: str | None = None,
+    min_off: int = 40,
+):
+    """Synthesize lane-major RAW sample streams: each stream is ``ns``
+    samples of AWGN carrying one channel-filtered frame (preamble +
+    packet) at a per-stream random offset — the workload of the raw
+    receiver (kernels/raw_chain.py), generated entirely on device.
+
+    Placement uses the same trick as the receiver's barrel shifter in
+    reverse: the frame is assembled at offset 0 and rolled DOWN by the
+    per-lane offset via its binary digits (conditional jnp.roll +
+    select per bit — no gather/scatter anywhere).  Noise covers the
+    full stream, so σ̂², detection normalization, and the noise floor
+    behave exactly as on a real capture.
+
+    Returns (x (ns, B) Cplx in ``dtype``, h (53, B) Cplx f32,
+    offsets (B,) int32)."""
+    total = C.PREAMBLE_SAMPLES + C.PACKET_SAMPLES
+    assert ns >= total + min_off, (ns, total)
+    k_f, k_o, k_nr, k_ni = jax.random.split(key, 4)
+    pkt, lp, h = generate_rx_lane_major(
+        k_f, batch, txs, tpre, snr_db=snr_db, dtype=dtype,
+        channel_model=channel_model, noise=False,
+    )
+    sig = Cplx(
+        jnp.concatenate(
+            [lp.re, pkt.re, jnp.zeros((ns - total, batch), dtype)], axis=0),
+        jnp.concatenate(
+            [lp.im, pkt.im, jnp.zeros((ns - total, batch), dtype)], axis=0),
+    )
+    offs = jax.random.randint(k_o, (batch,), min_off, ns - total,
+                              dtype=jnp.int32)
+
+    sigma_t2 = (10.0 ** (-snr_db / 10.0)) / C.N_FFT
+    nscale = np.sqrt(sigma_t2 / 2.0)
+
+    def noise(k):
+        return (jax.random.normal(k, (ns, batch), jnp.float32)
+                * nscale).astype(dtype)
+
+    # per-lane placement: VMEM barrel shifter on TPU, XLA rolls elsewhere
+    from tpu80211.kernels.detect_kernel import place_streams
+
+    x = place_streams(sig, Cplx(noise(k_nr), noise(k_ni)), offs)
+    return x, h, offs

@@ -313,6 +313,67 @@ def detect_and_align(
     return res, Cplx(lp_r, lp_i), Cplx(pkt_r, pkt_i)
 
 
+def _place_kernel(sr_ref, si_ref, nr_ref, ni_ref, off_ref, xr_ref, xi_ref,
+                  *, ns):
+    """Inverse barrel shifter: roll each lane's frame DOWN by its offset
+    (VMEM rolls — the XLA jnp.roll chain costs ~14 ms/batch of HBM
+    passes at B=32768) and add the noise field."""
+    f32 = jnp.float32
+    cur_r = sr_ref[:].astype(f32)
+    cur_i = si_ref[:].astype(f32)
+    offs = off_ref[:]                               # (1, L) int32
+    nbits = max(1, int(np.ceil(np.log2(ns))))
+    for b in range(nbits):
+        sh = (1 << b) % ns
+        roll_r = pltpu.roll(cur_r, sh, 0)
+        roll_i = pltpu.roll(cur_i, sh, 0)
+        bit = jnp.bitwise_and(
+            jax.lax.shift_right_logical(offs, b), 1) > 0
+        cur_r = jnp.where(bit, roll_r, cur_r)
+        cur_i = jnp.where(bit, roll_i, cur_i)
+    xr_ref[:] = (cur_r + nr_ref[:].astype(f32)).astype(xr_ref.dtype)
+    xi_ref[:] = (cur_i + ni_ref[:].astype(f32)).astype(xi_ref.dtype)
+
+
+@jax.jit
+def _place_call(sr, si, nr, ni, offs):
+    ns, b = sr.shape
+    ntile = b // LANES
+
+    def vspec(dim):
+        return pl.BlockSpec((dim, LANES), lambda i: (0, i),
+                            memory_space=pltpu.VMEM)
+
+    return pl.pallas_call(
+        functools.partial(_place_kernel, ns=ns),
+        grid=(ntile,),
+        in_specs=[vspec(ns)] * 4 + [vspec(1)],
+        out_specs=[vspec(ns)] * 2,
+        out_shape=[jax.ShapeDtypeStruct((ns, b), sr.dtype)] * 2,
+    )(sr, si, nr, ni, offs)
+
+
+def place_streams(sig: Cplx, noise: Cplx, offs: jnp.ndarray) -> Cplx:
+    """x[r, l] = sig[(r − offs[l]) mod ns, l] + noise[r, l] — per-lane
+    frame placement for the raw-stream generator, lane-major (ns, B).
+    Falls back to the XLA roll chain off-TPU."""
+    ns, b = sig.shape
+    if not on_tpu() or b % LANES != 0:
+        cur_r, cur_i = sig.re, sig.im
+        nbits = max(1, int(np.ceil(np.log2(ns))))
+        for bit_i in range(nbits):
+            sh = (1 << bit_i) % ns
+            bit = (jnp.bitwise_and(
+                jnp.right_shift(offs, np.int32(bit_i)), np.int32(1))
+                > 0)[None, :]
+            cur_r = jnp.where(bit, jnp.roll(cur_r, sh, axis=0), cur_r)
+            cur_i = jnp.where(bit, jnp.roll(cur_i, sh, axis=0), cur_i)
+        return Cplx(cur_r + noise.re, cur_i + noise.im)
+    xr, xi = _place_call(sig.re, sig.im, noise.re, noise.im,
+                         jnp.asarray(offs, jnp.int32)[None, :])
+    return Cplx(xr, xi)
+
+
 def extract_lane_major(x: Cplx, start: jnp.ndarray) -> tuple[Cplx, Cplx]:
     """Slice (lptot (160, B), packet (1200, B)) at per-stream ``start``
     from lane-major (NS, B) streams — one gather along the sample axis

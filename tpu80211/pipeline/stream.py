@@ -200,9 +200,12 @@ def make_device_stream_step(
     ``gen`` selects the generator: "kernel" (default — frames drawn by
     the hardware PRNG *inside* the fused generative kernel,
     kernels/gen_chain.py: zero input HBM traffic, the chain runs
-    frequency-native) or "xla" (datasets/synthetic_sc.py time-domain
+    frequency-native), "xla" (datasets/synthetic_sc.py time-domain
     generation feeding the tx-const packet kernel — the path that also
-    exercises the front end).
+    exercises the front end), or "raw" (round 4: full RAW sample
+    streams synthesized on device — frame at a random offset over AWGN
+    — fed to the one-kernel raw receiver kernels/raw_chain.py; the
+    summary adds detection/timing rates and post-equalization EVM).
 
     ``mesh``: a ('dp', …) Mesh to run the generative stream MULTI-CHIP —
     the step becomes a shard_map where every dp shard generates and
@@ -249,8 +252,69 @@ def make_device_stream_step(
     # stream is synthetic benchmark data, not cryptography
     base_key = jax.random.key(seed, impl=prng)
 
+    from tpu80211 import constants as C
+
+    if gen == "raw":
+        from tpu80211.ops.detect import lts_time_symbol
+
+        lts0 = lts_time_symbol(Cplx.from_complex(cap.tx_lptot))
+        lts = Cplx(jnp.asarray(lts0.re, jnp.float32),
+                   jnp.asarray(lts0.im, jnp.float32))
+
     @jax.jit
     def step(i, state):
+        if gen == "raw":
+            from tpu80211.kernels.raw_chain import raw_rx_txconst_fused
+
+            key = jax.random.fold_in(base_key, i)
+            key = jax.random.fold_in(key, state)
+            x, h, offs = synthetic_sc.generate_raw_lane_major(
+                key, batch, txs, tpre, snr_db=snr_db, dtype=dtype,
+                channel_model=channel_model,
+            )
+            out = raw_rx_txconst_fused(x, lts, txs, tpre)
+            det = out["detected"]
+            err = out["start"] - offs
+            in_band = jnp.logical_and(err >= -4, err <= -2)
+            # post-equalization EVM vs the known tx symbols — invariant
+            # to the deliberate early-extraction phase ramp (the blended
+            # equalizer divides it out), unlike raw CFR NMSE
+            eqs = out["eq"]                        # (15, 53, B)
+            txb = Cplx(
+                jnp.broadcast_to(txs.re[:, :C.N_BLOCKS].T[:, :, None],
+                                 eqs.shape),
+                jnp.broadcast_to(txs.im[:, :C.N_BLOCKS].T[:, :, None],
+                                 eqs.shape),
+            )
+            d_re = eqs.re.astype(jnp.float32) - txb.re
+            d_im = eqs.im.astype(jnp.float32) - txb.im
+            dc = jnp.arange(C.N_SC) != C.DC_IDX
+            evm2 = (jnp.sum((d_re * d_re + d_im * d_im)
+                            * dc[None, :, None])
+                    / jnp.sum((txb.re ** 2 + txb.im ** 2)
+                              * dc[None, :, None]))
+            # magnitude NMSE of the MMSE estimate vs the true channel —
+            # invariant to the early-extraction phase ramp (which rotates
+            # per-bin phase only); the phase-sensitive complement is the
+            # EVM above, where the equalizer cancels the ramp
+            hm = out["h_mmse"]
+            mag_e = jnp.sqrt(hm.re * hm.re + hm.im * hm.im)
+            mag_t = jnp.sqrt(h.re * h.re + h.im * h.im)
+            mag_nmse = (jnp.sum((mag_e - mag_t) ** 2)
+                        / jnp.sum(mag_t * mag_t))
+            summary = {
+                "detect_rate": jnp.mean(det.astype(jnp.float32)),
+                "timing_in_band_rate": jnp.mean(
+                    in_band.astype(jnp.float32)),
+                "evm_rms": jnp.sqrt(evm2),
+                "h_mmse_mag_nmse": mag_nmse,
+            }
+            sample_h = Cplx(out["h_mmse"].re[:, :sample],
+                            out["h_mmse"].im[:, :sample])
+            state = jnp.mod(
+                jnp.abs(jnp.sum(out["checksum"])) * 1e3, 65536.0
+            ).astype(jnp.int32)
+            return summary, sample_h, state
         if gen == "kernel":
             from tpu80211.kernels.gen_chain import fused_gen_chain
 
