@@ -136,6 +136,18 @@ def _step_txserve(args, s, inc):
     return jnp.tanh(jnp.sum(out["checksum"])) * 1e-9
 
 
+def _step_txi8(args, s, inc):
+    """tx-constant + int8 (ADC-true) rx ingestion + serving outputs —
+    the minimum-HBM shape on BOTH sides: 8-bit sample words in (what a
+    real ADC produces), only the served estimates out."""
+    from tpu80211.kernels.fused_chain import fused_rx_chain_txconst
+
+    txs, tpre, rx_pkt, rx_lp, lsb = args
+    out = fused_rx_chain_txconst(txs, tpre, rx_pkt, rx_lp, eps=s + inc,
+                                 serve=True, lsb=lsb)
+    return jnp.tanh(jnp.sum(out["checksum"])) * 1e-9
+
+
 def _bench_dense_mmse(iters: int = 24, batch: int = 8192) -> float:
     """Apples-to-apples figure for the op the reference actually times —
     the dense regularized 53×53 solve (BASELINE.json configs[3]) — via the
@@ -196,7 +208,7 @@ def _make_inputs(batch: int, dtype, fused: bool, txconst: bool):
         # storage (upcasts to f32 in VMEM)
         base = jax.tree.map(lambda x: x.T, base)
     if txconst:
-        from tpu80211.kernels.fused_chain import tx_spectra
+        from tpu80211.kernels.fused_chain import quantize_i8, tx_spectra
 
         tx_pkt, rx_pkt, tx_lp, rx_lp = base
         txs, tpre = tx_spectra(
@@ -205,18 +217,28 @@ def _make_inputs(batch: int, dtype, fused: bool, txconst: bool):
             Cplx(tx_lp.re[:, 0].astype(jnp.float32),
                  tx_lp.im[:, 0].astype(jnp.float32)),
         )
-        base = (txs, tpre, rx_pkt, rx_lp)
+        if txconst == "i8":
+            qp, lsb = quantize_i8(Cplx(rx_pkt.re.astype(jnp.float32),
+                                       rx_pkt.im.astype(jnp.float32)))
+            ql, _ = quantize_i8(Cplx(rx_lp.re.astype(jnp.float32),
+                                     rx_lp.im.astype(jnp.float32)), lsb)
+            base = (txs, tpre, qp, ql, lsb)
+        else:
+            base = (txs, tpre, rx_pkt, rx_lp)
     return base
 
 
 def bench_chain(path: str, batch: int, iters: int, dtype) -> dict:
     """Measure one chain path with the full serialized + batch-marginal
-    methodology.  ``path`` ∈ {"xla", "fused", "txconst", "txserve"}."""
+    methodology.  ``path`` ∈ {"xla", "fused", "txconst", "txserve",
+    "txi8"}."""
     fused = path != "xla"
-    txconst = path in ("txconst", "txserve")
+    txconst = ("i8" if path == "txi8"
+               else path in ("txconst", "txserve"))
     base = _make_inputs(batch, dtype, fused, txconst)
     fn = jax.jit({"xla": _step, "fused": _step_fused,
-                  "txconst": _step_txconst, "txserve": _step_txserve}[path])
+                  "txconst": _step_txconst, "txserve": _step_txserve,
+                  "txi8": _step_txi8}[path])
     incs = [jnp.float32(1e-6 * i) for i in range(2 * iters)]
     s = fn(base, jnp.float32(0.0), incs[0])
     float(s)  # full warmup incl. readback path
@@ -262,7 +284,8 @@ def bench_chain(path: str, batch: int, iters: int, dtype) -> dict:
         "dtype": "bf16" if bf16 else "f32",
         "path": {"xla": "xla", "fused": "fused_pallas",
                  "txconst": "fused_pallas_txconst",
-                 "txserve": "fused_pallas_txconst_serve"}[path],
+                 "txserve": "fused_pallas_txconst_serve",
+                 "txi8": "fused_pallas_txconst_i8_serve"}[path],
         "wall_s": round(dt, 4),
         "wall_s_single_loop": round(dt1, 4),
         "frames_per_s_batch_marginal": round(frames_per_s_bmarg, 1),
@@ -289,15 +312,17 @@ def main():
         bf16 = True
     dtype = jnp.bfloat16 if bf16 else jnp.float32
 
-    explicit = [f for f in ("--xla", "--fused", "--txconst", "--txserve")
+    explicit = [f for f in ("--xla", "--fused", "--txconst", "--txserve",
+                            "--txi8")
                 if f in sys.argv[1:]]
     if explicit or argv:
         # single-path run with explicit shape (smoke tests, sweeps)
         path = ("xla" if "--xla" in explicit
+                else "txi8" if "--txi8" in explicit
                 else "txserve" if "--txserve" in explicit
                 else "txconst" if "--txconst" in explicit else "fused")
         batch = int(argv[0]) if len(argv) > 0 else (
-            65536 if path in ("txconst", "txserve") else 32768)
+            65536 if path in ("txconst", "txserve", "txi8") else 32768)
         iters = int(argv[1]) if len(argv) > 1 else 48
         row = bench_chain(path, batch, iters, dtype)
         result = {"metric": _metric_name(row), "unit": "frames/s", **row}

@@ -147,6 +147,44 @@ def test_txconst_serve_mode_served_outputs_match(inputs):
     assert full["h_lt"].shape == (53, bpad)
 
 
+def test_txconst_int8_ingestion(inputs):
+    """int8 (ADC-true) rx ingestion: quantize_i8 + lsb reproduces the
+    f32 chain within the 8-bit quantization floor, and eq comes out
+    bf16 (never int8)."""
+    from tpu80211.kernels.fused_chain import (
+        LANES,
+        fused_rx_chain_txconst,
+        quantize_i8,
+        tx_spectra,
+    )
+
+    tx_pkt, rx_pkt, tx_lp, rx_lp = inputs
+    b = tx_pkt.shape[0]
+    bpad = -(-b // LANES) * LANES
+
+    def prep(x):
+        return Cplx(jnp.pad(x.re, ((0, bpad - b), (0, 0))).T,
+                    jnp.pad(x.im, ((0, bpad - b), (0, 0))).T)
+
+    txs, tpre = tx_spectra(
+        Cplx(tx_pkt.re[0], tx_pkt.im[0]), Cplx(tx_lp.re[0], tx_lp.im[0])
+    )
+    pk, lp = prep(rx_pkt), prep(rx_lp)
+    ref = fused_rx_chain_txconst(txs, tpre, pk, lp)
+    qp, lsb = quantize_i8(pk)
+    ql, _ = quantize_i8(lp, lsb)
+    assert qp.re.dtype == jnp.int8
+    got = fused_rx_chain_txconst(txs, tpre, qp, ql, lsb=lsb)
+    assert got["eq"].re.dtype == jnp.bfloat16
+    for k in ("h_lt", "h_linear", "h_mmse", "h_wiener"):
+        a = np.asarray(ref[k].to_complex())[:, :b]
+        g = np.asarray(got[k].to_complex())[:, :b]
+        rel = np.abs(g - a).max() / np.abs(a).max()
+        # 8-bit quantization noise floor (~2⁻⁷ per sample, averaged
+        # down by the 64-point DFT and block means)
+        assert rel < 0.05, (k, rel)
+
+
 def test_out_shape_vma_union_mixed_inputs():
     """The pallas_call out_shape avals must carry the union of the inputs'
     varying-mesh-axes for mixed varying/replicated inputs (ADVICE round-2:

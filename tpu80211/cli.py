@@ -78,6 +78,13 @@ def _build_parser() -> argparse.ArgumentParser:
     st.add_argument("--channel-model", default=None,
                     choices=["A", "B", "C", "D", "E"],
                     help="ETSI BRAN power-delay profile for --device-gen")
+    st.add_argument("--gen", default="kernel",
+                    choices=["kernel", "xla", "raw"],
+                    help="--device-gen generator: 'kernel' (in-kernel "
+                         "hardware-PRNG frames), 'xla' (time-domain XLA "
+                         "generation + tx-const chain), or 'raw' (raw "
+                         "sample streams at random offsets → the "
+                         "one-kernel detect+align+chain receiver)")
 
     sw = sub.add_parser("sweep", help="mesh-shape scaling sweep")
     sw.add_argument("--batch", type=int, default=4096)
@@ -257,6 +264,7 @@ def _cmd_stream(args) -> int:
         res = stream.run_stream_device(
             args.batches, args.batch, snr_db=args.snr_db,
             out_dir=args.out_dir, channel_model=args.channel_model,
+            gen=args.gen,
         )
     else:
         res = stream.run_stream(

@@ -40,7 +40,7 @@ LANES = fc.LANES
 
 def _raw_kernel(xr_ref, xi_ref, wrr_ref, wri_ref,
                 txs_r, txs_i, tpc_r, tpc_i,
-                wre_ref, wim_ref, winre_ref, winim_ref, eps_ref,
+                wre_ref, wim_ref, winre_ref, winim_ref, eps_ref, lsb_ref,
                 det_out, coarse_out, start_out, metric_out,
                 *chain_outs, ns, threshold, search, advance, sync):
     f32 = jnp.float32
@@ -67,7 +67,7 @@ def _raw_kernel(xr_ref, xi_ref, wrr_ref, wri_ref,
     pkt_i = cur_i[C.PREAMBLE_SAMPLES : total].astype(store)
     fc._kernel(
         txs_r, txs_i, tpc_r, tpc_i, pkt_r, pkt_i, lp_r, lp_i,
-        wre_ref, wim_ref, winre_ref, winim_ref, eps_ref,
+        wre_ref, wim_ref, winre_ref, winim_ref, eps_ref, lsb_ref,
         *chain_outs, tx_const=True, sync=sync,
     )
 
@@ -108,7 +108,8 @@ def _raw_call(xr, xi, wrr, wri, txs_r, txs_i, tpc_r, tpc_i, eps,
         out_specs=out_specs,
         out_shape=out_shape,
     )(xr, xi, wrr, wri, txs_r, txs_i, tpc_r, tpc_i, *consts,
-      jnp.reshape(jnp.asarray(eps, jnp.float32), (1, 1)))
+      jnp.reshape(jnp.asarray(eps, jnp.float32), (1, 1)),
+      jnp.ones((1, 1), jnp.float32))
 
 
 def raw_rx_txconst_fused(
