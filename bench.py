@@ -347,7 +347,8 @@ def main():
         tx = run_sub(["65536", "64", "--txconst"])
         dflt = run_sub(["32768", "48", "--fused"])
         serve = run_sub(["65536", "64", "--txserve"])
-        for row in (tx, dflt, serve):
+        i8 = run_sub(["65536", "64", "--txi8"])
+        for row in (tx, dflt, serve, i8):
             for k in ("metric", "unit", "device"):
                 row.pop(k, None)
         result = {
@@ -356,6 +357,7 @@ def main():
             **tx,
             "default_path": dflt,
             "serving_path": serve,
+            "i8_serving_path": i8,
         }
 
     result["device"] = str(jax.devices()[0])

@@ -59,8 +59,11 @@ def _raw_kernel(xr_ref, xi_ref, wrr_ref, wri_ref,
     s = jnp.clip(jnp.where(detected, start, 0), 0, ns - total)
     cur_r, cur_i = dk._barrel_align(xr, xi, s, ns)
     # hand the chain body bf16 VALUES so its DFTs take the single-pass
-    # bf16 MXU path (fused_chain._kernel slices/reads work on values)
-    store = xr_ref.dtype
+    # bf16 MXU path (fused_chain._kernel slices/reads work on values).
+    # int8 streams: the integer sample values pass through the f32
+    # detection/alignment exactly and land in bf16 exactly; the LSB
+    # scale applies inside the chain (scale = (1+eps)·lsb)
+    store = jnp.bfloat16 if xr_ref.dtype == jnp.int8 else xr_ref.dtype
     lp_r = cur_r[: C.PREAMBLE_SAMPLES].astype(store)
     lp_i = cur_i[: C.PREAMBLE_SAMPLES].astype(store)
     pkt_r = cur_r[C.PREAMBLE_SAMPLES : total].astype(store)
@@ -77,7 +80,7 @@ def _raw_kernel(xr_ref, xi_ref, wrr_ref, wri_ref,
     "wiener_model", "wiener_snr_db"))
 def _raw_call(xr, xi, wrr, wri, txs_r, txs_i, tpc_r, tpc_i, eps,
               threshold, search, advance, sync=False, serve=False,
-              wiener_model=None, wiener_snr_db=None):
+              wiener_model=None, wiener_snr_db=None, lsb=1.0):
     ns, b = xr.shape
     ntile = b // LANES
 
@@ -92,7 +95,8 @@ def _raw_call(xr, xi, wrr, wri, txs_r, txs_i, tpc_r, tpc_i, eps,
     pspec = pl.BlockSpec((C.N_SC, 1), lambda i: (0, 0),
                          memory_space=pltpu.VMEM)
     cspecs, consts = fc._const_specs(wiener_model, wiener_snr_db)
-    chain_specs, chain_shape = fc._out_specs_shapes(b, xr.dtype, serve=serve)
+    eq_dtype = jnp.bfloat16 if xr.dtype == jnp.int8 else xr.dtype
+    chain_specs, chain_shape = fc._out_specs_shapes(b, eq_dtype, serve=serve)
     out_specs = [vspec(1)] * 4 + list(chain_specs)
     out_shape = (
         [jax.ShapeDtypeStruct((1, b), jnp.int32)] * 3
@@ -109,7 +113,7 @@ def _raw_call(xr, xi, wrr, wri, txs_r, txs_i, tpc_r, tpc_i, eps,
         out_shape=out_shape,
     )(xr, xi, wrr, wri, txs_r, txs_i, tpc_r, tpc_i, *consts,
       jnp.reshape(jnp.asarray(eps, jnp.float32), (1, 1)),
-      jnp.ones((1, 1), jnp.float32))
+      jnp.reshape(jnp.asarray(lsb, jnp.float32), (1, 1)))
 
 
 def raw_rx_txconst_fused(
@@ -117,16 +121,23 @@ def raw_rx_txconst_fused(
     threshold: float = None, search: int = 192, advance: int = 4,
     eps=0.0, sync: bool = False, serve: bool = False,
     wiener_model: str | None = None, wiener_snr_db: float | None = None,
+    lsb=1.0,
 ) -> dict:
     """One-kernel raw receiver: lane-major (NS, B) streams →
     fused_rx_chain_txconst's output dict + detected/start/metric rows.
-    Falls back to the staged pipeline off-TPU."""
+    ``x`` may carry int8 ADC words with ``lsb`` their scale (detection
+    is scale-free; the LSB applies inside the chain) — the raw stream's
+    dominant HBM read halves vs bf16.  Falls back to the staged
+    pipeline off-TPU."""
     from tpu80211.ops.detect import DEFAULT_THRESHOLD
 
     thr = DEFAULT_THRESHOLD if threshold is None else threshold
     if not on_tpu():
         from tpu80211.pipeline.raw import raw_rx_txconst
 
+        if x.re.dtype == jnp.int8:
+            x = Cplx(x.re.astype(jnp.float32) * lsb,
+                     x.im.astype(jnp.float32) * lsb)
         return raw_rx_txconst(x, lts_ref, txs, tpre, threshold=thr,
                               eps=eps, serve=serve)
     ns, b = x.shape
@@ -140,7 +151,7 @@ def raw_rx_txconst_fused(
         txs.re, txs.im, tpre.re, tpre.im, eps,
         threshold=float(thr), search=int(search), advance=int(advance),
         sync=sync, serve=serve, wiener_model=wiener_model,
-        wiener_snr_db=wiener_snr_db)
+        wiener_snr_db=wiener_snr_db, lsb=lsb)
     det, coarse, start, metric = outs[:4]
     res = fc._pack_outputs(outs[4:], serve=serve)
     res["detected"] = det[0] > 0
