@@ -268,6 +268,23 @@ def test_main_module_entrypoint():
     assert "Device" in r.stdout or "TPU" in r.stdout or "Cpu" in r.stdout, r.stdout
 
 
+def test_cli_raw_subcommand():
+    """python -m tpu80211 raw: the raw-receiver demo detects every
+    embedded frame (CPU fallback path)."""
+    import subprocess
+    import sys
+
+    r = subprocess.run(
+        [sys.executable, "-m", "tpu80211", "raw", "--batch", "128"],
+        capture_output=True, text=True, timeout=480,
+        env={**__import__("os").environ, "JAX_PLATFORMS": "cpu"},
+    )
+    assert r.returncode == 0, r.stderr[-1500:]
+    rec = json.loads(r.stdout.strip().splitlines()[-1])
+    assert rec["detected"] == rec["streams"] == 128
+    assert -4 <= rec["timing_err_min"] <= rec["timing_err_max"] <= -2
+
+
 def test_init_distributed_single_process_noop():
     """init_distributed after backend init: warns or no-ops, never raises
     for the implicit single-process case."""

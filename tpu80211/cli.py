@@ -464,6 +464,14 @@ def _cmd_devices(_args) -> int:
 
 def main(argv=None) -> int:
     args = _build_parser().parse_args(argv)
+    import os
+
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
+        # honor an explicit CPU request: the preinstalled axon TPU plugin
+        # overrides the env var, so re-pin through the config
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     if args.cmd in ("run", "parity", "plot", "sync", "quality"):
         # complex-dtype reference paths: the axon TPU runtime does not
         # lower complex64 fft/divide — pin these commands to CPU (the
