@@ -300,6 +300,22 @@ def test_detect_kernel_matches_xla_on_tpu(capture):
         wantp = np.stack([x[l, starts[l] + 160:starts[l] + 1360].imag
                           for l in range(B)], axis=1).astype(np.float32)
         assert np.abs(np.asarray(pkt.im) - wantp).max() < 1e-7
+        # bf16 streams take the packed-int32 barrel shifter — the
+        # extracted planes must be the bf16-rounded exact slices
+        xb = Cplx(jnp.asarray(xc.re, jnp.bfloat16),
+                  jnp.asarray(xc.im, jnp.bfloat16))
+        detb, lpb, pktb = detect_and_align(xb, lts)
+        sb = np.asarray(detb["start"])
+        xb_np = np.asarray(xb.re, dtype=np.float32)
+        wantb = np.stack([xb_np[sb[l]:sb[l] + 160, l]
+                          for l in range(B)], axis=1)
+        assert np.array_equal(
+            np.asarray(lpb.re, dtype=np.float32), wantb)
+        xb_np_i = np.asarray(xb.im, dtype=np.float32)
+        wantbp = np.stack([xb_np_i[sb[l] + 160:sb[l] + 1360, l]
+                           for l in range(B)], axis=1)
+        assert np.array_equal(
+            np.asarray(pktb.im, dtype=np.float32), wantbp)
         # the fully-fused one-kernel receiver == the staged pipeline
         from tpu80211.kernels.fused_chain import tx_spectra
         from tpu80211.kernels.raw_chain import raw_rx_txconst_fused

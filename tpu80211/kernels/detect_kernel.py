@@ -179,6 +179,39 @@ def _barrel_align(xr, xi, s, ns):
     return cur_r, cur_i
 
 
+def _barrel_align_packed(raw_r, raw_i, s, ns):
+    """bf16 variant of `_barrel_align` at ~half the VPU passes: the two
+    bf16 planes are bitcast to int32 (Mosaic packs adjacent sublane
+    pairs: row 2k → low 16 bits, row 2k+1 → high), so every even shift
+    is a half-height int32 roll, and the odd-shift bit is a half-word
+    recombination ((p >> 16) | (next_p << 16)).  Returns aligned bf16
+    planes — bit-identical to the f32 path for bf16 inputs."""
+    half = ns // 2
+    pr = pltpu.bitcast(raw_r, jnp.int32)            # (ns/2, L)
+    pi = pltpu.bitcast(raw_i, jnp.int32)
+    total = C.PREAMBLE_SAMPLES + C.PACKET_SAMPLES
+    nbits = max(1, int(np.ceil(np.log2(ns - total + 1))))
+    for b in range(1, nbits):
+        sh32 = (1 << b) // 2
+        bit = jnp.bitwise_and(
+            jax.lax.shift_right_logical(s, b), 1) > 0   # (1, L)
+        pr = jnp.where(bit, pltpu.roll(pr, half - sh32, 0), pr)
+        pi = jnp.where(bit, pltpu.roll(pi, half - sh32, 0), pi)
+
+    def shift1(p):
+        nxt = pltpu.roll(p, half - 1, 0)
+        return jnp.bitwise_or(
+            jax.lax.shift_right_logical(p, 16),
+            jax.lax.shift_left(jnp.bitwise_and(nxt, 0xFFFF), 16),
+        )
+
+    bit0 = jnp.bitwise_and(s, 1) > 0
+    pr = jnp.where(bit0, shift1(pr), pr)
+    pi = jnp.where(bit0, shift1(pi), pi)
+    return (pltpu.bitcast(pr, jnp.bfloat16),
+            pltpu.bitcast(pi, jnp.bfloat16))
+
+
 def _kernel(xr_ref, xi_ref, wrr_ref, wri_ref,
             det_out, coarse_out, start_out, metric_out, *rest,
             ns, threshold, search, advance, align=False):
@@ -199,7 +232,11 @@ def _kernel(xr_ref, xi_ref, wrr_ref, wri_ref,
         lp_r, lp_i, pkt_r, pkt_i = rest
         total = C.PREAMBLE_SAMPLES + C.PACKET_SAMPLES
         s = jnp.clip(jnp.where(detected, start, 0), 0, ns - total)
-        cur_r, cur_i = _barrel_align(xr, xi, s, ns)
+        if xr_ref.dtype == jnp.bfloat16:
+            cur_r, cur_i = _barrel_align_packed(
+                xr_ref[:], xi_ref[:], s, ns)
+        else:
+            cur_r, cur_i = _barrel_align(xr, xi, s, ns)
         lp_r[:] = cur_r[: C.PREAMBLE_SAMPLES].astype(lp_r.dtype)
         lp_i[:] = cur_i[: C.PREAMBLE_SAMPLES].astype(lp_i.dtype)
         pkt_r[:] = cur_r[C.PREAMBLE_SAMPLES : total].astype(pkt_r.dtype)
@@ -317,20 +354,45 @@ def _place_kernel(sr_ref, si_ref, nr_ref, ni_ref, off_ref, xr_ref, xi_ref,
                   *, ns):
     """Inverse barrel shifter: roll each lane's frame DOWN by its offset
     (VMEM rolls — the XLA jnp.roll chain costs ~14 ms/batch of HBM
-    passes at B=32768) and add the noise field."""
+    passes at B=32768) and add the noise field.  bf16 planes take the
+    packed-int32 path (half the passes, cf. _barrel_align_packed)."""
     f32 = jnp.float32
-    cur_r = sr_ref[:].astype(f32)
-    cur_i = si_ref[:].astype(f32)
     offs = off_ref[:]                               # (1, L) int32
     nbits = max(1, int(np.ceil(np.log2(ns))))
-    for b in range(nbits):
-        sh = (1 << b) % ns
-        roll_r = pltpu.roll(cur_r, sh, 0)
-        roll_i = pltpu.roll(cur_i, sh, 0)
-        bit = jnp.bitwise_and(
-            jax.lax.shift_right_logical(offs, b), 1) > 0
-        cur_r = jnp.where(bit, roll_r, cur_r)
-        cur_i = jnp.where(bit, roll_i, cur_i)
+    if sr_ref.dtype == jnp.bfloat16:
+        half = ns // 2
+        pr = pltpu.bitcast(sr_ref[:], jnp.int32)
+        pi = pltpu.bitcast(si_ref[:], jnp.int32)
+        for b in range(1, nbits):
+            sh32 = (1 << b) // 2
+            bit = jnp.bitwise_and(
+                jax.lax.shift_right_logical(offs, b), 1) > 0
+            pr = jnp.where(bit, pltpu.roll(pr, sh32, 0), pr)
+            pi = jnp.where(bit, pltpu.roll(pi, sh32, 0), pi)
+
+        def shift1_down(p):
+            prv = pltpu.roll(p, 1, 0)
+            return jnp.bitwise_or(
+                jax.lax.shift_right_logical(prv, 16),
+                jax.lax.shift_left(jnp.bitwise_and(p, 0xFFFF), 16),
+            )
+
+        bit0 = jnp.bitwise_and(offs, 1) > 0
+        pr = jnp.where(bit0, shift1_down(pr), pr)
+        pi = jnp.where(bit0, shift1_down(pi), pi)
+        cur_r = pltpu.bitcast(pr, jnp.bfloat16).astype(f32)
+        cur_i = pltpu.bitcast(pi, jnp.bfloat16).astype(f32)
+    else:
+        cur_r = sr_ref[:].astype(f32)
+        cur_i = si_ref[:].astype(f32)
+        for b in range(nbits):
+            sh = (1 << b) % ns
+            roll_r = pltpu.roll(cur_r, sh, 0)
+            roll_i = pltpu.roll(cur_i, sh, 0)
+            bit = jnp.bitwise_and(
+                jax.lax.shift_right_logical(offs, b), 1) > 0
+            cur_r = jnp.where(bit, roll_r, cur_r)
+            cur_i = jnp.where(bit, roll_i, cur_i)
     xr_ref[:] = (cur_r + nr_ref[:].astype(f32)).astype(xr_ref.dtype)
     xi_ref[:] = (cur_i + ni_ref[:].astype(f32)).astype(xi_ref.dtype)
 

@@ -57,7 +57,11 @@ def _raw_kernel(xr_ref, xi_ref, wrr_ref, wri_ref,
 
     total = C.PREAMBLE_SAMPLES + C.PACKET_SAMPLES
     s = jnp.clip(jnp.where(detected, start, 0), 0, ns - total)
-    cur_r, cur_i = dk._barrel_align(xr, xi, s, ns)
+    if xr_ref.dtype == jnp.bfloat16:
+        # packed-int32 barrel on the raw bf16 planes — ~half the passes
+        cur_r, cur_i = dk._barrel_align_packed(xr_ref[:], xi_ref[:], s, ns)
+    else:
+        cur_r, cur_i = dk._barrel_align(xr, xi, s, ns)
     # hand the chain body bf16 VALUES so its DFTs take the single-pass
     # bf16 MXU path (fused_chain._kernel slices/reads work on values).
     # int8 streams: the integer sample values pass through the f32
