@@ -130,6 +130,32 @@ def main():
     }
     print(json.dumps({"detect": out["detect"]}))
 
+    # decimated coarse metric (16-stride S&C; identical fine timing)
+    resd = detect_streams(x, lts, decimate=True)
+    errd = np.asarray(resd["start"]) - offs
+    assert np.asarray(resd["detected"]).all()
+    assert errd.min() >= -4 and errd.max() <= -2, (errd.min(), errd.max())
+
+    @jax.jit
+    def step_detect_dec_x(x, s, inc):
+        eps = s + inc
+        xs = Cplx((x.re.astype(jnp.float32) * (1.0 + eps)).astype(x.re.dtype),
+                  x.im)
+        r = detect_streams(xs, lts, decimate=True)
+        return jnp.sum(r["start"]).astype(jnp.float32) * 1e-9 + eps * 0.5
+
+    def step_detect_dec(s, inc):
+        return step_detect_dec_x(x, s, inc)
+
+    s = step_detect_dec(jnp.float32(0.0), incs[0])
+    float(s)
+    dt = _marginal(step_detect_dec, iters, s, incs)
+    out["detect_decimated"] = {
+        "streams_per_s": round(batch * iters / dt, 1),
+        "ms_per_step": round(1e3 * dt / iters, 4),
+    }
+    print(json.dumps({"detect_decimated": out["detect_decimated"]}))
+
     # ---- full system ---------------------------------------------------
     @jax.jit
     def step_system_x(x, s, inc):

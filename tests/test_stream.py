@@ -265,7 +265,8 @@ def test_main_module_entrypoint():
         env={**__import__("os").environ, "JAX_PLATFORMS": "cpu"},
     )
     assert r.returncode == 0, r.stderr
-    assert "Device" in r.stdout or "TPU" in r.stdout or "Cpu" in r.stdout, r.stdout
+    out = r.stdout.lower()
+    assert "device" in out or "tpu" in out or "cpu" in out, r.stdout
 
 
 def test_cli_raw_subcommand():

@@ -46,9 +46,12 @@ def _raw_kernel(xr_ref, xi_ref, wrr_ref, wri_ref,
     f32 = jnp.float32
     xr = xr_ref[:].astype(f32)
     xi = xi_ref[:].astype(f32)
+    # decimated coarse metric: exact stride-16 S&C samples — the fine
+    # matched-filter timing (full resolution) is unaffected, and the
+    # raw receiver never exposes `coarse`
     det, coarse, start, peak_m = dk._detect_core(
         xr, xi, wrr_ref[:], wri_ref[:], ns=ns, threshold=threshold,
-        search=search, advance=advance)
+        search=search, advance=advance, decimate=True)
     detected = det > 0
     det_out[:] = det
     coarse_out[:] = jnp.where(detected, coarse, -1)
