@@ -105,6 +105,24 @@ def test_raw_stream_mode(tmp_path):
     assert not np.array_equal(np.asarray(sample_h.re), np.asarray(h_c.re))
 
 
+def test_kernel_raw_stream_mode():
+    """gen='kernel_raw': the fully in-kernel generative raw system (CPU
+    fallback composes the XLA generator + staged receiver) — summaries
+    sane, steps deterministic."""
+    import jax.numpy as jnp
+
+    step, s0 = stream.make_device_stream_step(128, snr_db=30.0,
+                                              gen="kernel_raw")
+    summary, sample_h, s1 = step(0, s0)
+    assert float(summary["detect_rate"]) == 1.0
+    assert float(summary["h_mmse_mag_nmse"]) < 0.1
+    assert np.isfinite(float(summary["evm_rms"]))
+    assert sample_h.re.shape == (53, 128)
+    s_b, h_b, _ = step(0, s0)
+    np.testing.assert_array_equal(np.asarray(sample_h.re),
+                                  np.asarray(h_b.re))
+
+
 def test_device_stream_steps_are_chained():
     """The carried state makes each batch's generator key depend on the
     previous batch's outputs — the device-side serialization the

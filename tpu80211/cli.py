@@ -79,12 +79,14 @@ def _build_parser() -> argparse.ArgumentParser:
                     choices=["A", "B", "C", "D", "E"],
                     help="ETSI BRAN power-delay profile for --device-gen")
     st.add_argument("--gen", default="kernel",
-                    choices=["kernel", "xla", "raw"],
+                    choices=["kernel", "xla", "raw", "kernel_raw"],
                     help="--device-gen generator: 'kernel' (in-kernel "
                          "hardware-PRNG frames), 'xla' (time-domain XLA "
-                         "generation + tx-const chain), or 'raw' (raw "
+                         "generation + tx-const chain), 'raw' (raw "
                          "sample streams at random offsets → the "
-                         "one-kernel detect+align+chain receiver)")
+                         "one-kernel detect+align+chain receiver), or "
+                         "'kernel_raw' (the whole raw system — synthesis "
+                         "through estimation — in ONE kernel)")
 
     sw = sub.add_parser("sweep", help="mesh-shape scaling sweep")
     sw.add_argument("--batch", type=int, default=4096)

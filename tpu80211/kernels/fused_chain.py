@@ -59,7 +59,8 @@ def _row_mask(n, row):
     return jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0) == row
 
 
-def _kernel(*refs, tx_const: bool, sync: bool):
+def _kernel(*refs, tx_const: bool, sync: bool, evm_sums: bool = False):
+    assert not (evm_sums and sync), "streaming EVM is non-sync only"
     f32 = jnp.float32
     it = iter(refs)
     if tx_const:
@@ -73,6 +74,7 @@ def _kernel(*refs, tx_const: bool, sync: bool):
     (hlt_r, hlt_i, hlin_r, hlin_i, hcub_r, hcub_i, hsin_r, hsin_i,
      hspl_r, hspl_i, hwie_r, hwie_i, hmmse_r, hmmse_i,
      eq_r, eq_i, ow2_out, cfo_out, chk_out) = (next(it) for _ in range(19))
+    evm_out = next(it) if evm_sums else None
 
     # int8 (ADC-true) ingestion: integer sample values in [-127, 127]
     # with one LSB scale — upcast ONCE to bf16 (every int8 value is
@@ -269,6 +271,7 @@ def _kernel(*refs, tx_const: bool, sync: bool):
 
     # -- equalize with the PS-Linear blend (WiFi_RX.m:60) ---------------------
     n = C.N_BLOCKS
+    evm_acc = None
     for b in range(n):
         tbr, tbi, rbr, rbi = blocks[b]
         w_ps = (b + 1) / n
@@ -280,6 +283,14 @@ def _kernel(*refs, tx_const: bool, sync: bool):
         er, ei = cdiv(rbr, rbi, hur, hui)
         er = jnp.where(dc, 0.0, er)
         ei = jnp.where(dc, 0.0, ei)
+        if evm_sums:
+            # per-lane Σ|eq − tx|² accumulated in VMEM (streaming EVM:
+            # the (15, 53, B) eq tensor never needs to leave the chip;
+            # the DC rows of both eq and tx are 0, so no extra mask)
+            d_re = er - tbr
+            d_im = ei - tbi
+            t = jnp.sum(d_re * d_re + d_im * d_im, axis=0, keepdims=True)
+            evm_acc = t if evm_acc is None else evm_acc + t
         if sync:
             # per-block pilot CPE removal (ops/cfo.py::cpe_correct):
             # g = Σ_p eq[p]·conj(tx[p]); eq *= conj(g)/|g| (phase only)
@@ -299,6 +310,8 @@ def _kernel(*refs, tx_const: bool, sync: bool):
         eq_i[b, :, :] = ei.astype(eq_i.dtype)
         chk = chk + jnp.sum(er + ei, axis=0, keepdims=True)
     chk_out[:] = chk
+    if evm_sums:
+        evm_out[:] = evm_acc
 
 
 # indices of the h-plane PAIRS that serving mode drops from full HBM
@@ -307,7 +320,8 @@ def _kernel(*refs, tx_const: bool, sync: bool):
 _SERVE_DROP = (0, 1, 2, 3, 4)  # h_lt, h_linear, h_cubic, h_sinc, h_spline
 
 
-def _out_specs_shapes(l, eq_dtype, vma=frozenset(), serve=False):
+def _out_specs_shapes(l, eq_dtype, vma=frozenset(), serve=False,
+                      eq_stub=False, evm_sums=False):
     def vspec(dim):
         return pl.BlockSpec((dim, LANES), lambda i: (0, i),
                             memory_space=pltpu.VMEM)
@@ -330,9 +344,14 @@ def _out_specs_shapes(l, eq_dtype, vma=frozenset(), serve=False):
         h_shapes += [jax.ShapeDtypeStruct((C.N_SC, dim), jnp.float32,
                                           vma=vma)] * 2
 
+    # eq_stub (raw streaming): the (15, 53, B) equalized tensor collapses
+    # to one tile (last grid step's values — dropped by _pack_outputs);
+    # the per-stream EVM sums computed in-kernel replace it
+    eq_map = (lambda i: (0, 0, 0)) if eq_stub else (lambda i: (0, 0, i))
+    eq_dim = LANES if eq_stub else l
     out_specs = (
         h_specs
-        + [pl.BlockSpec((C.N_BLOCKS, C.N_SC, LANES), lambda i: (0, 0, i),
+        + [pl.BlockSpec((C.N_BLOCKS, C.N_SC, LANES), eq_map,
                         memory_space=pltpu.VMEM)] * 2
         + [vspec(1)] * 3
     )
@@ -341,9 +360,15 @@ def _out_specs_shapes(l, eq_dtype, vma=frozenset(), serve=False):
     # outputs vary over exactly the axes the batch inputs do.
     out_shape = (
         h_shapes
-        + [jax.ShapeDtypeStruct((C.N_BLOCKS, C.N_SC, l), eq_dtype, vma=vma)] * 2
+        + [jax.ShapeDtypeStruct((C.N_BLOCKS, C.N_SC, eq_dim), eq_dtype,
+                                vma=vma)] * 2
         + [jax.ShapeDtypeStruct((1, l), jnp.float32, vma=vma)] * 3
     )
+    if evm_sums:
+        out_specs = out_specs + [vspec(1)]
+        out_shape = out_shape + [
+            jax.ShapeDtypeStruct((1, l), jnp.float32, vma=vma)
+        ]
     return out_specs, out_shape
 
 
@@ -447,7 +472,8 @@ _OUT_NAMES = ("h_lt", "h_linear", "h_cubic", "h_sinc", "h_spline",
               "h_wiener", "h_mmse")
 
 
-def _pack_outputs(outs, serve: bool = False):
+def _pack_outputs(outs, serve: bool = False, eq_stub: bool = False,
+                  evm_sums: bool = False):
     res = {}
     for i, name in enumerate(_OUT_NAMES):
         if serve and i in _SERVE_DROP:
@@ -458,11 +484,14 @@ def _pack_outputs(outs, serve: bool = False):
             res[name] = None
             continue
         res[name] = Cplx(outs[2 * i], outs[2 * i + 1])
-    eq_r, eq_i, ow2, cfo, chk = outs[14:]
-    res["eq"] = Cplx(eq_r, eq_i)
+    eq_r, eq_i, ow2, cfo, chk = outs[14:19]
+    # collapsed eq (raw streaming mode) holds last-tile values — dropped
+    res["eq"] = None if eq_stub else Cplx(eq_r, eq_i)
     res["ow2"] = ow2[0]
     res["cfo"] = cfo[0]
     res["checksum"] = chk[0]
+    if evm_sums:
+        res["evm_sums"] = outs[19][0]   # per-stream Σ|eq − tx|²
     return res
 
 

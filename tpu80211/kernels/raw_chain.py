@@ -42,7 +42,8 @@ def _raw_kernel(xr_ref, xi_ref, wrr_ref, wri_ref,
                 txs_r, txs_i, tpc_r, tpc_i,
                 wre_ref, wim_ref, winre_ref, winim_ref, eps_ref, lsb_ref,
                 det_out, coarse_out, start_out, metric_out,
-                *chain_outs, ns, threshold, search, advance, sync):
+                *chain_outs, ns, threshold, search, advance, sync,
+                stream_sums=False):
     f32 = jnp.float32
     xr = xr_ref[:].astype(f32)
     xi = xi_ref[:].astype(f32)
@@ -78,16 +79,17 @@ def _raw_kernel(xr_ref, xi_ref, wrr_ref, wri_ref,
     fc._kernel(
         txs_r, txs_i, tpc_r, tpc_i, pkt_r, pkt_i, lp_r, lp_i,
         wre_ref, wim_ref, winre_ref, winim_ref, eps_ref, lsb_ref,
-        *chain_outs, tx_const=True, sync=sync,
+        *chain_outs, tx_const=True, sync=sync, evm_sums=stream_sums,
     )
 
 
 @functools.partial(jax.jit, static_argnames=(
     "threshold", "search", "advance", "sync", "serve",
-    "wiener_model", "wiener_snr_db"))
+    "wiener_model", "wiener_snr_db", "stream_sums"))
 def _raw_call(xr, xi, wrr, wri, txs_r, txs_i, tpc_r, tpc_i, eps,
               threshold, search, advance, sync=False, serve=False,
-              wiener_model=None, wiener_snr_db=None, lsb=1.0):
+              wiener_model=None, wiener_snr_db=None, lsb=1.0,
+              stream_sums=False):
     ns, b = xr.shape
     ntile = b // LANES
 
@@ -103,7 +105,9 @@ def _raw_call(xr, xi, wrr, wri, txs_r, txs_i, tpc_r, tpc_i, eps,
                          memory_space=pltpu.VMEM)
     cspecs, consts = fc._const_specs(wiener_model, wiener_snr_db)
     eq_dtype = jnp.bfloat16 if xr.dtype == jnp.int8 else xr.dtype
-    chain_specs, chain_shape = fc._out_specs_shapes(b, eq_dtype, serve=serve)
+    chain_specs, chain_shape = fc._out_specs_shapes(
+        b, eq_dtype, serve=serve, eq_stub=stream_sums,
+        evm_sums=stream_sums)
     out_specs = [vspec(1)] * 4 + list(chain_specs)
     out_shape = (
         [jax.ShapeDtypeStruct((1, b), jnp.int32)] * 3
@@ -112,7 +116,8 @@ def _raw_call(xr, xi, wrr, wri, txs_r, txs_i, tpc_r, tpc_i, eps,
     )
     return pl.pallas_call(
         functools.partial(_raw_kernel, ns=ns, threshold=threshold,
-                          search=search, advance=advance, sync=sync),
+                          search=search, advance=advance, sync=sync,
+                          stream_sums=stream_sums),
         grid=(ntile,),
         in_specs=[vspec(ns), vspec(ns), wspec, wspec,
                   tspec, tspec, pspec, pspec] + cspecs,
@@ -128,14 +133,17 @@ def raw_rx_txconst_fused(
     threshold: float = None, search: int = 192, advance: int = 4,
     eps=0.0, sync: bool = False, serve: bool = False,
     wiener_model: str | None = None, wiener_snr_db: float | None = None,
-    lsb=1.0,
+    lsb=1.0, stream_sums: bool = False,
 ) -> dict:
     """One-kernel raw receiver: lane-major (NS, B) streams →
     fused_rx_chain_txconst's output dict + detected/start/metric rows.
     ``x`` may carry int8 ADC words with ``lsb`` their scale (detection
     is scale-free; the LSB applies inside the chain) — the raw stream's
-    dominant HBM read halves vs bf16.  Falls back to the staged
-    pipeline off-TPU."""
+    dominant HBM read halves vs bf16.  ``stream_sums=True`` is the
+    streaming configuration: per-stream Σ|eq − tx|² accumulates IN the
+    kernel (``evm_sums`` key, (B,)) and the (15, 53, B) eq tensor never
+    leaves the chip (``eq`` is None).  Falls back to the staged
+    pipeline off-TPU (eq-based EVM computed there by the caller)."""
     from tpu80211.ops.detect import DEFAULT_THRESHOLD
 
     thr = DEFAULT_THRESHOLD if threshold is None else threshold
@@ -145,8 +153,22 @@ def raw_rx_txconst_fused(
         if x.re.dtype == jnp.int8:
             x = Cplx(x.re.astype(jnp.float32) * lsb,
                      x.im.astype(jnp.float32) * lsb)
-        return raw_rx_txconst(x, lts_ref, txs, tpre, threshold=thr,
-                              eps=eps, serve=serve)
+        res = raw_rx_txconst(x, lts_ref, txs, tpre, threshold=thr,
+                             eps=eps, serve=serve)
+        if stream_sums:
+            # same contract as the kernel: per-stream Σ|eq − tx|²
+            eqs = res["eq"]
+            nb = C.N_BLOCKS
+            txb_r = jnp.broadcast_to(
+                txs.re[:, :nb].T[:, :, None], eqs.re.shape)
+            txb_i = jnp.broadcast_to(
+                txs.im[:, :nb].T[:, :, None], eqs.im.shape)
+            d_re = eqs.re.astype(jnp.float32) - txb_r
+            d_im = eqs.im.astype(jnp.float32) - txb_i
+            res["evm_sums"] = jnp.sum(d_re * d_re + d_im * d_im,
+                                      axis=(0, 1))
+            res["eq"] = None
+        return res
     ns, b = x.shape
     assert b % LANES == 0, (b, LANES)
     assert ns % dk.LAG == 0, ns
@@ -158,9 +180,10 @@ def raw_rx_txconst_fused(
         txs.re, txs.im, tpre.re, tpre.im, eps,
         threshold=float(thr), search=int(search), advance=int(advance),
         sync=sync, serve=serve, wiener_model=wiener_model,
-        wiener_snr_db=wiener_snr_db, lsb=lsb)
+        wiener_snr_db=wiener_snr_db, lsb=lsb, stream_sums=stream_sums)
     det, coarse, start, metric = outs[:4]
-    res = fc._pack_outputs(outs[4:], serve=serve)
+    res = fc._pack_outputs(outs[4:], serve=serve, eq_stub=stream_sums,
+                           evm_sums=stream_sums)
     res["detected"] = det[0] > 0
     res["start"] = start[0]
     res["metric"] = metric[0]

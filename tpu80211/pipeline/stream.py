@@ -202,10 +202,13 @@ def make_device_stream_step(
     kernels/gen_chain.py: zero input HBM traffic, the chain runs
     frequency-native), "xla" (datasets/synthetic_sc.py time-domain
     generation feeding the tx-const packet kernel — the path that also
-    exercises the front end), or "raw" (round 4: full RAW sample
-    streams synthesized on device — frame at a random offset over AWGN
-    — fed to the one-kernel raw receiver kernels/raw_chain.py; the
-    summary adds detection/timing rates and post-equalization EVM).
+    exercises the front end), "raw" (round 4: full RAW sample streams
+    synthesized on device — frame at a random offset over AWGN — fed to
+    the one-kernel raw receiver kernels/raw_chain.py; the summary adds
+    detection/timing rates and post-equalization EVM), or "kernel_raw"
+    (the raw system's speed-of-light form: synthesis, placement, noise,
+    detection, alignment AND the chain all inside ONE Pallas kernel —
+    kernels/raw_gen_chain.py; zero HBM input, hardware-PRNG frames).
 
     ``mesh``: a ('dp', …) Mesh to run the generative stream MULTI-CHIP —
     the step becomes a shard_map where every dp shard generates and
@@ -254,15 +257,48 @@ def make_device_stream_step(
 
     from tpu80211 import constants as C
 
-    if gen == "raw":
+    if gen in ("raw", "kernel_raw"):
         from tpu80211.ops.detect import lts_time_symbol
 
         lts0 = lts_time_symbol(Cplx.from_complex(cap.tx_lptot))
         lts = Cplx(jnp.asarray(lts0.re, jnp.float32),
                    jnp.asarray(lts0.im, jnp.float32))
+        # EVM denominator Σ|tx|² over blocks/bins — a problem constant
+        evm_den = float(np.sum(np.asarray(txs.re[:, :C.N_BLOCKS]) ** 2
+                               + np.asarray(txs.im[:, :C.N_BLOCKS]) ** 2))
 
     @jax.jit
     def step(i, state):
+        if gen == "kernel_raw":
+            from tpu80211.kernels.raw_gen_chain import gen_raw_system
+
+            kseed = (jnp.asarray(seed + i * 65537, jnp.int32)
+                     + state * jnp.asarray(2654435761 % (2 ** 31),
+                                           jnp.int32))
+            out = gen_raw_system(kseed, batch, txs, tpre, lts,
+                                 snr_db=snr_db,
+                                 channel_model=channel_model)
+            det = out["detected"]
+            err = out["start"] - out["offsets"]
+            in_band = jnp.logical_and(err >= -4, err <= -2)
+            evm2 = jnp.sum(out["evm_sums"]) / (batch * evm_den)
+            hm = out["h_mmse"]
+            h = out["h_true"]
+            mag_e = jnp.sqrt(hm.re * hm.re + hm.im * hm.im)
+            mag_t = jnp.sqrt(h.re * h.re + h.im * h.im)
+            summary = {
+                "detect_rate": jnp.mean(det.astype(jnp.float32)),
+                "timing_in_band_rate": jnp.mean(
+                    in_band.astype(jnp.float32)),
+                "evm_rms": jnp.sqrt(evm2),
+                "h_mmse_mag_nmse": (jnp.sum((mag_e - mag_t) ** 2)
+                                    / jnp.sum(mag_t * mag_t)),
+            }
+            sample_h = Cplx(hm.re[:, :sample], hm.im[:, :sample])
+            state = jnp.mod(
+                jnp.abs(jnp.sum(out["checksum"])) * 1e3, 65536.0
+            ).astype(jnp.int32)
+            return summary, sample_h, state
         if gen == "raw":
             from tpu80211.kernels.raw_chain import raw_rx_txconst_fused
 
@@ -272,27 +308,17 @@ def make_device_stream_step(
                 key, batch, txs, tpre, snr_db=snr_db, dtype=dtype,
                 channel_model=channel_model,
             )
-            out = raw_rx_txconst_fused(x, lts, txs, tpre)
+            # streaming configuration: per-stream Σ|eq − tx|² accumulates
+            # IN the kernel; the (15, 53, B) eq tensor never leaves the
+            # chip.  EVM vs the known tx symbols is invariant to the
+            # deliberate early-extraction phase ramp (the blended
+            # equalizer divides it out), unlike raw CFR NMSE.
+            out = raw_rx_txconst_fused(x, lts, txs, tpre,
+                                       stream_sums=True)
             det = out["detected"]
             err = out["start"] - offs
             in_band = jnp.logical_and(err >= -4, err <= -2)
-            # post-equalization EVM vs the known tx symbols — invariant
-            # to the deliberate early-extraction phase ramp (the blended
-            # equalizer divides it out), unlike raw CFR NMSE
-            eqs = out["eq"]                        # (15, 53, B)
-            txb = Cplx(
-                jnp.broadcast_to(txs.re[:, :C.N_BLOCKS].T[:, :, None],
-                                 eqs.shape),
-                jnp.broadcast_to(txs.im[:, :C.N_BLOCKS].T[:, :, None],
-                                 eqs.shape),
-            )
-            d_re = eqs.re.astype(jnp.float32) - txb.re
-            d_im = eqs.im.astype(jnp.float32) - txb.im
-            dc = jnp.arange(C.N_SC) != C.DC_IDX
-            evm2 = (jnp.sum((d_re * d_re + d_im * d_im)
-                            * dc[None, :, None])
-                    / jnp.sum((txb.re ** 2 + txb.im ** 2)
-                              * dc[None, :, None]))
+            evm2 = jnp.sum(out["evm_sums"]) / (batch * evm_den)
             # magnitude NMSE of the MMSE estimate vs the true channel —
             # invariant to the early-extraction phase ramp (which rotates
             # per-bin phase only); the phase-sensitive complement is the
