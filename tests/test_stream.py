@@ -105,6 +105,39 @@ def test_raw_stream_mode(tmp_path):
     assert not np.array_equal(np.asarray(sample_h.re), np.asarray(h_c.re))
 
 
+def test_raw_equalize_with_mmse_quality():
+    """equalize_with='h_mmse' on the generative raw system: the
+    full-preamble MMSE estimate equalizes the dispersive channel the
+    golden PS-Linear blend cannot (EVM 2.7 → ~0.03 at SNR 30)."""
+    import jax
+    import jax.numpy as jnp
+
+    from tpu80211.cplx import Cplx
+    from tpu80211.datasets.loader import load_capture
+    from tpu80211.kernels.fused_chain import tx_spectra
+    from tpu80211.kernels.raw_gen_chain import gen_raw_system
+    from tpu80211.ops.detect import lts_time_symbol
+
+    cap = load_capture()
+    txs, tpre = tx_spectra(Cplx.from_complex(cap.tx_packet, jnp.float32),
+                           Cplx.from_complex(cap.tx_lptot, jnp.float32))
+    lts = lts_time_symbol(Cplx.from_complex(cap.tx_lptot))
+    lts = Cplx(jnp.asarray(lts.re, jnp.float32),
+               jnp.asarray(lts.im, jnp.float32))
+    den = float(np.sum(np.asarray(txs.re[:, :15]) ** 2
+                       + np.asarray(txs.im[:, :15]) ** 2))
+
+    def evm(eqw):
+        out = gen_raw_system(jnp.int32(7), 128, txs, tpre, lts,
+                             snr_db=30.0, equalize_with=eqw)
+        return float(np.sqrt(np.sum(np.asarray(out["evm_sums"]))
+                             / (128 * den)))
+
+    e_lin, e_mmse = evm("h_linear"), evm("h_mmse")
+    assert e_mmse < 0.1, e_mmse
+    assert e_mmse < e_lin / 10.0, (e_lin, e_mmse)
+
+
 def test_kernel_raw_stream_mode():
     """gen='kernel_raw': the fully in-kernel generative raw system (CPU
     fallback composes the XLA generator + staged receiver) — summaries

@@ -59,7 +59,8 @@ def _row_mask(n, row):
     return jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0) == row
 
 
-def _kernel(*refs, tx_const: bool, sync: bool, evm_sums: bool = False):
+def _kernel(*refs, tx_const: bool, sync: bool, evm_sums: bool = False,
+            equalize_with: str = "h_linear"):
     assert not (evm_sums and sync), "streaming EVM is non-sync only"
     f32 = jnp.float32
     it = iter(refs)
@@ -269,15 +270,24 @@ def _kernel(*refs, tx_const: bool, sync: bool, evm_sums: bool = False):
     hmmse_i[:] = acc_i / C.N_AVG_BLOCKS
     chk = chk + jnp.sum(acc_r + acc_i, axis=0, keepdims=True) / C.N_AVG_BLOCKS
 
-    # -- equalize with the PS-Linear blend (WiFi_RX.m:60) ---------------------
+    # -- equalize: blend H_LT with the selected PS estimate -------------------
+    # (WiFi_RX.m:60's blend structure; the golden model fixes PS-Linear,
+    # `equalize_with` selects h_mmse/h_wiener for production serving —
+    # PS-Linear diverges on dispersive channels, sc.rx_chain_freq has the
+    # same selector)
+    hps_re, hps_im = {
+        "h_linear": (hlin_re, hlin_im),
+        "h_wiener": hwie,
+        "h_mmse": (acc_r / C.N_AVG_BLOCKS, acc_i / C.N_AVG_BLOCKS),
+    }[equalize_with]
     n = C.N_BLOCKS
     evm_acc = None
     for b in range(n):
         tbr, tbi, rbr, rbi = blocks[b]
         w_ps = (b + 1) / n
         w_lt = (n - (b + 1)) / n
-        hur = w_lt * hlt_re + w_ps * hlin_re
-        hui = w_lt * hlt_im + w_ps * hlin_im
+        hur = w_lt * hlt_re + w_ps * hps_re
+        hui = w_lt * hlt_im + w_ps * hps_im
         hur = jnp.where(dc, 1.0, hur)
         hui = jnp.where(dc, 0.0, hui)
         er, ei = cdiv(rbr, rbi, hur, hui)
@@ -428,11 +438,12 @@ def _fused_call(txp_r, txp_i, rxp_r, rxp_i, txl_r, txl_i, rxl_r, rxl_i,
 
 @functools.partial(jax.jit, static_argnames=("interpret", "sync", "serve",
                                              "wiener_model",
-                                             "wiener_snr_db"))
+                                             "wiener_snr_db",
+                                             "equalize_with"))
 def _fused_call_txconst(txs_r, txs_i, tpc_r, tpc_i, rxp_r, rxp_i,
                         rxl_r, rxl_i, eps, interpret, sync=False,
                         serve=False, wiener_model=None, wiener_snr_db=None,
-                        lsb=1.0):
+                        lsb=1.0, equalize_with="h_linear"):
     ntile = rxp_r.shape[-1] // LANES
 
     def vspec(dim):
@@ -452,7 +463,8 @@ def _fused_call_txconst(txs_r, txs_i, tpc_r, tpc_i, rxp_r, rxp_i,
     out_specs, out_shape = _out_specs_shapes(
         rxp_r.shape[-1], eq_dtype, vma=vma, serve=serve)
     return pl.pallas_call(
-        functools.partial(_kernel, tx_const=True, sync=sync),
+        functools.partial(_kernel, tx_const=True, sync=sync,
+                          equalize_with=equalize_with),
         grid=(ntile,),
         in_specs=[tspec, tspec, pspec, pspec]
         + [vspec(C.PACKET_SAMPLES)] * 2
@@ -566,7 +578,7 @@ def fused_rx_chain_txconst(txs: Cplx, tpre: Cplx, rx_pkt: Cplx,
                            serve: bool = False,
                            wiener_model: str | None = None,
                            wiener_snr_db: float | None = None,
-                           lsb=1.0):
+                           lsb=1.0, equalize_with: str = "h_linear"):
     """tx-constant lane-major entry: the whole stream shares one known
     transmit packet, passed as precomputed spectra (see `tx_spectra`) —
     input HBM traffic halves vs `fused_rx_chain_lane_major`.
@@ -598,6 +610,7 @@ def fused_rx_chain_txconst(txs: Cplx, tpre: Cplx, rx_pkt: Cplx,
         rx_pkt.re, rx_pkt.im, rx_lp.re, rx_lp.im, eps,
         interpret=not on_tpu(), sync=sync, serve=serve,
         wiener_model=wiener_model, wiener_snr_db=wiener_snr_db, lsb=lsb,
+        equalize_with=equalize_with,
     )
     return _pack_outputs(outs, serve=serve)
 

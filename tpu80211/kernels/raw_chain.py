@@ -43,7 +43,7 @@ def _raw_kernel(xr_ref, xi_ref, wrr_ref, wri_ref,
                 wre_ref, wim_ref, winre_ref, winim_ref, eps_ref, lsb_ref,
                 det_out, coarse_out, start_out, metric_out,
                 *chain_outs, ns, threshold, search, advance, sync,
-                stream_sums=False):
+                stream_sums=False, equalize_with="h_linear"):
     f32 = jnp.float32
     xr = xr_ref[:].astype(f32)
     xi = xi_ref[:].astype(f32)
@@ -80,16 +80,17 @@ def _raw_kernel(xr_ref, xi_ref, wrr_ref, wri_ref,
         txs_r, txs_i, tpc_r, tpc_i, pkt_r, pkt_i, lp_r, lp_i,
         wre_ref, wim_ref, winre_ref, winim_ref, eps_ref, lsb_ref,
         *chain_outs, tx_const=True, sync=sync, evm_sums=stream_sums,
+        equalize_with=equalize_with,
     )
 
 
 @functools.partial(jax.jit, static_argnames=(
     "threshold", "search", "advance", "sync", "serve",
-    "wiener_model", "wiener_snr_db", "stream_sums"))
+    "wiener_model", "wiener_snr_db", "stream_sums", "equalize_with"))
 def _raw_call(xr, xi, wrr, wri, txs_r, txs_i, tpc_r, tpc_i, eps,
               threshold, search, advance, sync=False, serve=False,
               wiener_model=None, wiener_snr_db=None, lsb=1.0,
-              stream_sums=False):
+              stream_sums=False, equalize_with="h_linear"):
     ns, b = xr.shape
     ntile = b // LANES
 
@@ -117,7 +118,8 @@ def _raw_call(xr, xi, wrr, wri, txs_r, txs_i, tpc_r, tpc_i, eps,
     return pl.pallas_call(
         functools.partial(_raw_kernel, ns=ns, threshold=threshold,
                           search=search, advance=advance, sync=sync,
-                          stream_sums=stream_sums),
+                          stream_sums=stream_sums,
+                          equalize_with=equalize_with),
         grid=(ntile,),
         in_specs=[vspec(ns), vspec(ns), wspec, wspec,
                   tspec, tspec, pspec, pspec] + cspecs,
@@ -133,7 +135,7 @@ def raw_rx_txconst_fused(
     threshold: float = None, search: int = 192, advance: int = 4,
     eps=0.0, sync: bool = False, serve: bool = False,
     wiener_model: str | None = None, wiener_snr_db: float | None = None,
-    lsb=1.0, stream_sums: bool = False,
+    lsb=1.0, stream_sums: bool = False, equalize_with: str = "h_linear",
 ) -> dict:
     """One-kernel raw receiver: lane-major (NS, B) streams →
     fused_rx_chain_txconst's output dict + detected/start/metric rows.
@@ -154,7 +156,8 @@ def raw_rx_txconst_fused(
             x = Cplx(x.re.astype(jnp.float32) * lsb,
                      x.im.astype(jnp.float32) * lsb)
         res = raw_rx_txconst(x, lts_ref, txs, tpre, threshold=thr,
-                             eps=eps, serve=serve)
+                             eps=eps, serve=serve,
+                             equalize_with=equalize_with)
         if stream_sums:
             # same contract as the kernel: per-stream Σ|eq − tx|²
             eqs = res["eq"]
@@ -180,7 +183,8 @@ def raw_rx_txconst_fused(
         txs.re, txs.im, tpre.re, tpre.im, eps,
         threshold=float(thr), search=int(search), advance=int(advance),
         sync=sync, serve=serve, wiener_model=wiener_model,
-        wiener_snr_db=wiener_snr_db, lsb=lsb, stream_sums=stream_sums)
+        wiener_snr_db=wiener_snr_db, lsb=lsb, stream_sums=stream_sums,
+        equalize_with=equalize_with)
     det, coarse, start, metric = outs[:4]
     res = fc._pack_outputs(outs[4:], serve=serve, eq_stub=stream_sums,
                            evm_sums=stream_sums)

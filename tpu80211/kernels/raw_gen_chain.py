@@ -69,7 +69,8 @@ def _gen_raw_kernel(txs_r, txs_i, tpc_r, tpc_i, vre_ref, vim_ref,
                     det_out, start_out, metric_out, offs_out,
                     htr_out, hti_out,
                     *chain_outs, ns, snr_db, rms, n_taps,
-                    threshold, search, advance):
+                    threshold, search, advance,
+                    equalize_with="h_linear"):
     f32 = jnp.float32
     pltpu.prng_seed(seed_ref[0, 0], pl.program_id(0))
 
@@ -173,15 +174,17 @@ def _gen_raw_kernel(txs_r, txs_i, tpc_r, tpc_i, vre_ref, vim_ref,
         txs_r, txs_i, tpc_r, tpc_i, pkt_r, pkt_i, lp_r, lp_i,
         wre_ref, wim_ref, winre_ref, winim_ref, eps_ref, lsb_ref,
         *chain_outs, tx_const=True, sync=False, evm_sums=True,
+        equalize_with=equalize_with,
     )
 
 
 @functools.partial(jax.jit, static_argnames=(
     "batch", "ns", "snr_db", "channel_model", "threshold", "search",
-    "advance"))
+    "advance", "equalize_with"))
 def _gen_raw_call(txs_r, txs_i, tpc_r, tpc_i, wrr, wri, seed,
                   batch, ns, snr_db, channel_model=None,
-                  threshold=0.5, search=192, advance=4):
+                  threshold=0.5, search=192, advance=4,
+                  equalize_with="h_linear"):
     from tpu80211.ops import channel
 
     ntile = batch // LANES
@@ -216,7 +219,8 @@ def _gen_raw_call(txs_r, txs_i, tpc_r, tpc_i, wrr, wri, seed,
         functools.partial(_gen_raw_kernel, ns=ns, snr_db=float(snr_db),
                           rms=rms, n_taps=n_taps,
                           threshold=float(threshold), search=int(search),
-                          advance=int(advance)),
+                          advance=int(advance),
+                          equalize_with=equalize_with),
         grid=(ntile,),
         in_specs=[cspec(C.N_SC, fc.NB_PAD)] * 2 + [cspec(C.N_SC, 1)] * 2
         + [cspec(C.N_FFT, C.N_SC)] * 2
@@ -239,7 +243,8 @@ def _gen_raw_call(txs_r, txs_i, tpc_r, tpc_i, wrr, wri, seed,
 def gen_raw_system(seed, batch: int, txs: Cplx, tpre: Cplx,
                    lts_ref: Cplx, ns: int = 2048, snr_db: float = 20.0,
                    channel_model: str | None = None,
-                   threshold: float = 0.5) -> dict:
+                   threshold: float = 0.5,
+                   equalize_with: str = "h_linear") -> dict:
     """Run the fully in-kernel generative raw system for one batch.
 
     Returns dict: detected (B,) bool, start/offsets (B,) int32, metric,
@@ -258,7 +263,8 @@ def gen_raw_system(seed, batch: int, txs: Cplx, tpre: Cplx,
             dtype=jnp.float32, channel_model=channel_model)
         out = raw_rx_txconst_fused(x, lts_ref, txs, tpre,
                                    threshold=threshold, serve=True,
-                                   stream_sums=True)
+                                   stream_sums=True,
+                                   equalize_with=equalize_with)
         out["offsets"] = offs
         out["h_true"] = h
         return out
@@ -269,7 +275,8 @@ def gen_raw_system(seed, batch: int, txs: Cplx, tpre: Cplx,
         txs.re, txs.im, tpre.re, tpre.im,
         jnp.asarray(wrr), jnp.asarray(wri), seed,
         batch=batch, ns=ns, snr_db=float(snr_db),
-        channel_model=channel_model, threshold=float(threshold))
+        channel_model=channel_model, threshold=float(threshold),
+        equalize_with=equalize_with)
     det, start, metric, offs, htr, hti = outs[:6]
     res = fc._pack_outputs(outs[6:], serve=True, eq_stub=True,
                            evm_sums=True)

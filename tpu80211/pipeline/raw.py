@@ -25,7 +25,8 @@ from tpu80211.kernels.fused_chain import fused_rx_chain_txconst
 
 def raw_rx_txconst(x: Cplx, lts_ref: Cplx, txs: Cplx, tpre: Cplx,
                    threshold: float | None = None, eps=0.0,
-                   serve: bool = False) -> dict:
+                   serve: bool = False,
+                   equalize_with: str = "h_linear") -> dict:
     """Full raw-stream receiver for a lane-major (NS, B) stream batch.
 
     ``lts_ref``: (64,) known time-domain LTS (detect_kernel reference);
@@ -36,7 +37,8 @@ def raw_rx_txconst(x: Cplx, lts_ref: Cplx, txs: Cplx, tpre: Cplx,
     scale-free — its normalized metric cancels any input gain)."""
     kw = {} if threshold is None else {"threshold": threshold}
     det, lp, pkt = detect_and_align(x, lts_ref, **kw)
-    out = fused_rx_chain_txconst(txs, tpre, pkt, lp, eps=eps, serve=serve)
+    out = fused_rx_chain_txconst(txs, tpre, pkt, lp, eps=eps, serve=serve,
+                                 equalize_with=equalize_with)
     out["detected"] = det["detected"]
     out["start"] = det["start"]
     out["metric"] = det["metric"]
