@@ -138,6 +138,40 @@ def test_raw_equalize_with_mmse_quality():
     assert e_mmse < e_lin / 10.0, (e_lin, e_mmse)
 
 
+def test_gen_raw_cfo_impairment_and_recovery():
+    """cfo_khz: per-stream carrier offsets up to ±40 kHz are synthesized
+    and recovered by the in-kernel Moose CFO + pilot CPE stages (CPU
+    fallback; the Pallas kernel is validated on-chip the same way —
+    PERF.md 'Generative raw stream')."""
+    import jax.numpy as jnp
+
+    from tpu80211.cplx import Cplx
+    from tpu80211.datasets.loader import load_capture
+    from tpu80211.kernels.fused_chain import tx_spectra
+    from tpu80211.kernels.raw_gen_chain import gen_raw_system
+    from tpu80211.ops.detect import lts_time_symbol
+
+    cap = load_capture()
+    txs, tpre = tx_spectra(Cplx.from_complex(cap.tx_packet, jnp.float32),
+                           Cplx.from_complex(cap.tx_lptot, jnp.float32))
+    lts = lts_time_symbol(Cplx.from_complex(cap.tx_lptot))
+    lts = Cplx(jnp.asarray(lts.re, jnp.float32),
+               jnp.asarray(lts.im, jnp.float32))
+    out = gen_raw_system(jnp.int32(3), 128, txs, tpre, lts, snr_db=30.0,
+                         equalize_with="h_mmse", cfo_khz=40.0)
+    assert np.asarray(out["detected"]).all()
+    # Moose CFO recovery: estimate within 200 Hz of truth (median)
+    err_hz = np.abs(np.asarray(out["cfo"])
+                    - np.asarray(out["cfo_true"])) * 20e6
+    assert np.median(err_hz) < 200.0, np.median(err_hz)
+    # equalized symbols survive the impairment
+    den = float(np.sum(np.asarray(txs.re[:, :15]) ** 2
+                       + np.asarray(txs.im[:, :15]) ** 2))
+    evm = float(np.sqrt(np.sum(np.asarray(out["evm_sums"]))
+                        / (128 * den)))
+    assert evm < 0.15, evm
+
+
 def test_kernel_raw_stream_mode():
     """gen='kernel_raw': the fully in-kernel generative raw system (CPU
     fallback composes the XLA generator + staged receiver) — summaries

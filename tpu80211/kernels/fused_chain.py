@@ -59,9 +59,39 @@ def _row_mask(n, row):
     return jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0) == row
 
 
+@functools.lru_cache(maxsize=None)
+def _atan_poly():
+    """Odd-polynomial fit of atan on [0, 1]: atan(z) ≈ z·P(z²), max abs
+    error ~2e-7 — Mosaic has no atan2 lowering, so the sync path builds
+    it from ~12 VPU ops (same playbook as gen_chain's bitcast ln)."""
+    z = np.linspace(0.0, 1.0, 4097)
+    # fit P(u) with u = z² to atan(z)/z (degree 8 in u ⇒ degree 17 odd)
+    u = z * z
+    y = np.ones_like(z)
+    y[1:] = np.arctan(z[1:]) / z[1:]
+    return tuple(float(c) for c in np.polyfit(u, y, 8))
+
+
+def _atan2(y, x):
+    """atan2 from the odd polynomial + octant reconstruction (exact
+    quadrant behavior; atan2(0, 0) returns 0)."""
+    ax, ay = jnp.abs(x), jnp.abs(y)
+    lo = jnp.minimum(ax, ay)
+    hi = jnp.maximum(ax, ay)
+    z = lo / jnp.maximum(hi, 1e-30)
+    u = z * z
+    cs = _atan_poly()
+    p = jnp.full(u.shape, np.float32(cs[0]))
+    for c in cs[1:]:
+        p = p * u + np.float32(c)
+    a = z * p                                  # atan(min/max) ∈ [0, π/4]
+    a = jnp.where(ay > ax, np.float32(np.pi / 2) - a, a)
+    a = jnp.where(x < 0, np.float32(np.pi) - a, a)
+    return jnp.where(y < 0, -a, a)
+
+
 def _kernel(*refs, tx_const: bool, sync: bool, evm_sums: bool = False,
             equalize_with: str = "h_linear"):
-    assert not (evm_sums and sync), "streaming EVM is non-sync only"
     f32 = jnp.float32
     it = iter(refs)
     if tx_const:
@@ -132,9 +162,10 @@ def _kernel(*refs, tx_const: bool, sync: bool, evm_sums: bool = False,
         r2r, r2i = rxl_r_all[96:160, :], rxl_i_all[96:160, :]
         cr = jnp.sum(r1r * r2r + r1i * r2i, axis=0, keepdims=True)
         ci = jnp.sum(r1r * r2i - r1i * r2r, axis=0, keepdims=True)
-        eps_cfo = jnp.arctan2(ci, cr) / (_TWO_PI * C.N_FFT)  # (1, L)
+        eps_cfo = _atan2(ci, cr) / (_TWO_PI * C.N_FFT)  # (1, L)
         # derotate the preamble in place: x[n] *= exp(-2πi·eps·n), n from 0
-        t_pre = jax.lax.broadcasted_iota(f32, (C.PREAMBLE_SAMPLES, 1), 0)
+        t_pre = jax.lax.broadcasted_iota(
+            jnp.int32, (C.PREAMBLE_SAMPLES, 1), 0).astype(f32)
         ang = (-_TWO_PI) * eps_cfo * t_pre
         rot_r, rot_i = jnp.cos(ang), jnp.sin(ang)
         rxl_r_all, rxl_i_all = (
@@ -194,7 +225,8 @@ def _kernel(*refs, tx_const: bool, sync: bool, evm_sums: bool = False,
             # derotate this block's 64 samples; time base continues from
             # the preamble (ops/cfo.py::correct_cfo start semantics)
             t0 = C.PREAMBLE_SAMPLES + lo
-            tb_idx = t0 + jax.lax.broadcasted_iota(f32, (C.N_FFT, 1), 0)
+            tb_idx = t0 + jax.lax.broadcasted_iota(
+                jnp.int32, (C.N_FFT, 1), 0).astype(f32)
             ang = (-_TWO_PI) * eps_cfo * tb_idx
             rot_r, rot_i = jnp.cos(ang), jnp.sin(ang)
             xr = rxp_r[lo:hi, :].astype(f32)
@@ -293,14 +325,6 @@ def _kernel(*refs, tx_const: bool, sync: bool, evm_sums: bool = False,
         er, ei = cdiv(rbr, rbi, hur, hui)
         er = jnp.where(dc, 0.0, er)
         ei = jnp.where(dc, 0.0, ei)
-        if evm_sums:
-            # per-lane Σ|eq − tx|² accumulated in VMEM (streaming EVM:
-            # the (15, 53, B) eq tensor never needs to leave the chip;
-            # the DC rows of both eq and tx are 0, so no extra mask)
-            d_re = er - tbr
-            d_im = ei - tbi
-            t = jnp.sum(d_re * d_re + d_im * d_im, axis=0, keepdims=True)
-            evm_acc = t if evm_acc is None else evm_acc + t
         if sync:
             # per-block pilot CPE removal (ops/cfo.py::cpe_correct):
             # g = Σ_p eq[p]·conj(tx[p]); eq *= conj(g)/|g| (phase only)
@@ -316,6 +340,15 @@ def _kernel(*refs, tx_const: bool, sync: bool, evm_sums: bool = False,
             mag = jnp.where(mag == 0.0, 1.0, mag)
             rr_, ri_ = gr / mag, -gi / mag
             er, ei = er * rr_ - ei * ri_, er * ri_ + ei * rr_
+        if evm_sums:
+            # per-lane Σ|eq − tx|² accumulated in VMEM (streaming EVM:
+            # the (15, 53, B) eq tensor never needs to leave the chip;
+            # the DC rows of both eq and tx are 0, so no extra mask).
+            # Runs AFTER the CPE correction when sync is on.
+            d_re = er - tbr
+            d_im = ei - tbi
+            t = jnp.sum(d_re * d_re + d_im * d_im, axis=0, keepdims=True)
+            evm_acc = t if evm_acc is None else evm_acc + t
         eq_r[b, :, :] = er.astype(eq_r.dtype)
         eq_i[b, :, :] = ei.astype(eq_i.dtype)
         chk = chk + jnp.sum(er + ei, axis=0, keepdims=True)

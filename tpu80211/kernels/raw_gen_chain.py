@@ -67,10 +67,10 @@ def _gen_raw_kernel(txs_r, txs_i, tpc_r, tpc_i, vre_ref, vim_ref,
                     wre_ref, wim_ref, winre_ref, winim_ref,
                     eps_ref, lsb_ref, seed_ref,
                     det_out, start_out, metric_out, offs_out,
-                    htr_out, hti_out,
+                    htr_out, hti_out, cfo_true_out,
                     *chain_outs, ns, snr_db, rms, n_taps,
                     threshold, search, advance,
-                    equalize_with="h_linear"):
+                    equalize_with="h_linear", cfo_khz=0.0):
     f32 = jnp.float32
     pltpu.prng_seed(seed_ref[0, 0], pl.program_id(0))
 
@@ -148,6 +148,24 @@ def _gen_raw_kernel(txs_r, txs_i, tpc_r, tpc_i, vre_ref, vim_ref,
         sig_r = jnp.where(bit, pltpu.roll(sig_r, sh, 0), sig_r)
         sig_i = jnp.where(bit, pltpu.roll(sig_i, sh, 0), sig_i)
 
+    # per-stream carrier-frequency offset (the impairment the reference's
+    # capture carries at 20 kHz, WiFi_RX.m:9): uniform in ±cfo_khz,
+    # applied as a phase ramp over the whole waveform — recovered by the
+    # chain's in-kernel Moose CFO + pilot CPE stages (sync=True)
+    if cfo_khz > 0.0:
+        fb = pltpu.prng_random_bits((1, LANES))
+        u = (jax.lax.shift_right_logical(fb, 8).astype(jnp.int32)
+             .astype(f32)) * (2.0 ** -24)
+        eps_true = (2.0 * u - 1.0) * np.float32(cfo_khz * 1e3 / 20e6)
+        cfo_true_out[:] = eps_true                  # cycles/sample
+        n_idx = jax.lax.broadcasted_iota(jnp.int32, (ns, 1), 0).astype(f32)
+        ang = _TWO_PI * eps_true * n_idx
+        rot_r, rot_i = jnp.cos(ang), jnp.sin(ang)
+        sig_r, sig_i = (sig_r * rot_r - sig_i * rot_i,
+                        sig_r * rot_i + sig_i * rot_r)
+    else:
+        cfo_true_out[:] = jnp.zeros((1, LANES), f32)
+
     sigma_t2 = (10.0 ** (-snr_db / 10.0)) / C.N_FFT
     nsc = np.float32(np.sqrt(sigma_t2 / 2.0))
     n1r, n1i = normals(ns)   # independent Box-Muller pair: re and im
@@ -173,18 +191,18 @@ def _gen_raw_kernel(txs_r, txs_i, tpc_r, tpc_i, vre_ref, vim_ref,
     fc._kernel(
         txs_r, txs_i, tpc_r, tpc_i, pkt_r, pkt_i, lp_r, lp_i,
         wre_ref, wim_ref, winre_ref, winim_ref, eps_ref, lsb_ref,
-        *chain_outs, tx_const=True, sync=False, evm_sums=True,
+        *chain_outs, tx_const=True, sync=(cfo_khz > 0.0), evm_sums=True,
         equalize_with=equalize_with,
     )
 
 
 @functools.partial(jax.jit, static_argnames=(
     "batch", "ns", "snr_db", "channel_model", "threshold", "search",
-    "advance", "equalize_with"))
+    "advance", "equalize_with", "cfo_khz"))
 def _gen_raw_call(txs_r, txs_i, tpc_r, tpc_i, wrr, wri, seed,
                   batch, ns, snr_db, channel_model=None,
                   threshold=0.5, search=192, advance=4,
-                  equalize_with="h_linear"):
+                  equalize_with="h_linear", cfo_khz=0.0):
     from tpu80211.ops import channel
 
     ntile = batch // LANES
@@ -204,13 +222,14 @@ def _gen_raw_call(txs_r, txs_i, tpc_r, tpc_i, wrr, wri, seed,
     wcr, wci = _cfr_mats(n_taps)
     chain_specs, chain_shape = fc._out_specs_shapes(
         batch, jnp.bfloat16, serve=True, eq_stub=True, evm_sums=True)
-    out_specs = ([vspec(1)] * 4 + [vspec(C.N_SC)] * 2
+    out_specs = ([vspec(1)] * 4 + [vspec(C.N_SC)] * 2 + [vspec(1)]
                  + list(chain_specs))
     out_shape = (
         [jax.ShapeDtypeStruct((1, batch), jnp.int32)] * 2
         + [jax.ShapeDtypeStruct((1, batch), jnp.float32)]
         + [jax.ShapeDtypeStruct((1, batch), jnp.int32)]
         + [jax.ShapeDtypeStruct((C.N_SC, batch), jnp.float32)] * 2
+        + [jax.ShapeDtypeStruct((1, batch), jnp.float32)]
         + list(chain_shape)
     )
     # output order: det(i32), start(i32), metric(f32), offs(i32), h_true×2
@@ -220,7 +239,8 @@ def _gen_raw_call(txs_r, txs_i, tpc_r, tpc_i, wrr, wri, seed,
                           rms=rms, n_taps=n_taps,
                           threshold=float(threshold), search=int(search),
                           advance=int(advance),
-                          equalize_with=equalize_with),
+                          equalize_with=equalize_with,
+                          cfo_khz=float(cfo_khz)),
         grid=(ntile,),
         in_specs=[cspec(C.N_SC, fc.NB_PAD)] * 2 + [cspec(C.N_SC, 1)] * 2
         + [cspec(C.N_FFT, C.N_SC)] * 2
@@ -244,7 +264,8 @@ def gen_raw_system(seed, batch: int, txs: Cplx, tpre: Cplx,
                    lts_ref: Cplx, ns: int = 2048, snr_db: float = 20.0,
                    channel_model: str | None = None,
                    threshold: float = 0.5,
-                   equalize_with: str = "h_linear") -> dict:
+                   equalize_with: str = "h_linear",
+                   cfo_khz: float = 0.0) -> dict:
     """Run the fully in-kernel generative raw system for one batch.
 
     Returns dict: detected (B,) bool, start/offsets (B,) int32, metric,
@@ -261,12 +282,35 @@ def gen_raw_system(seed, batch: int, txs: Cplx, tpre: Cplx,
         x, h, offs = synthetic_sc.generate_raw_lane_major(
             key, batch, txs, tpre, ns=ns, snr_db=snr_db,
             dtype=jnp.float32, channel_model=channel_model)
-        out = raw_rx_txconst_fused(x, lts_ref, txs, tpre,
-                                   threshold=threshold, serve=True,
-                                   stream_sums=True,
-                                   equalize_with=equalize_with)
+        if cfo_khz > 0.0:
+            kc = jax.random.fold_in(key, 77)
+            f = cfo_khz * 1e3 / 20e6
+            eps_true = jax.random.uniform(kc, (batch,), jnp.float32,
+                                          minval=-f, maxval=f)
+            ang = (2.0 * np.pi * eps_true[None, :]
+                   * jnp.arange(ns, dtype=jnp.float32)[:, None])
+            cr_, ci_ = jnp.cos(ang), jnp.sin(ang)
+            x = Cplx(x.re * cr_ - x.im * ci_, x.re * ci_ + x.im * cr_)
+        else:
+            eps_true = jnp.zeros((batch,), jnp.float32)
+        from tpu80211.pipeline.raw import raw_rx_txconst
+
+        out = raw_rx_txconst(x, lts_ref, txs, tpre, threshold=threshold,
+                             serve=True, sync=(cfo_khz > 0.0),
+                             equalize_with=equalize_with)
+        # match the kernel's stream contract: in-XLA per-stream EVM
+        eqs = out["eq"]
+        txb_r = jnp.broadcast_to(txs.re[:, :C.N_BLOCKS].T[:, :, None],
+                                 eqs.re.shape)
+        txb_i = jnp.broadcast_to(txs.im[:, :C.N_BLOCKS].T[:, :, None],
+                                 eqs.im.shape)
+        d_re = eqs.re.astype(jnp.float32) - txb_r
+        d_im = eqs.im.astype(jnp.float32) - txb_i
+        out["evm_sums"] = jnp.sum(d_re * d_re + d_im * d_im, axis=(0, 1))
+        out["eq"] = None
         out["offsets"] = offs
         out["h_true"] = h
+        out["cfo_true"] = eps_true
         return out
     h_re = tuple(float(v) for v in np.asarray(lts_ref.re))
     h_im = tuple(float(v) for v in np.asarray(lts_ref.im))
@@ -276,10 +320,11 @@ def gen_raw_system(seed, batch: int, txs: Cplx, tpre: Cplx,
         jnp.asarray(wrr), jnp.asarray(wri), seed,
         batch=batch, ns=ns, snr_db=float(snr_db),
         channel_model=channel_model, threshold=float(threshold),
-        equalize_with=equalize_with)
-    det, start, metric, offs, htr, hti = outs[:6]
-    res = fc._pack_outputs(outs[6:], serve=True, eq_stub=True,
+        equalize_with=equalize_with, cfo_khz=float(cfo_khz))
+    det, start, metric, offs, htr, hti, cfo_true = outs[:7]
+    res = fc._pack_outputs(outs[7:], serve=True, eq_stub=True,
                            evm_sums=True)
+    res["cfo_true"] = cfo_true[0]
     res["detected"] = det[0] > 0
     res["start"] = start[0]
     res["metric"] = metric[0]

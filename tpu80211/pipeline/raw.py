@@ -25,7 +25,7 @@ from tpu80211.kernels.fused_chain import fused_rx_chain_txconst
 
 def raw_rx_txconst(x: Cplx, lts_ref: Cplx, txs: Cplx, tpre: Cplx,
                    threshold: float | None = None, eps=0.0,
-                   serve: bool = False,
+                   serve: bool = False, sync: bool = False,
                    equalize_with: str = "h_linear") -> dict:
     """Full raw-stream receiver for a lane-major (NS, B) stream batch.
 
@@ -38,7 +38,7 @@ def raw_rx_txconst(x: Cplx, lts_ref: Cplx, txs: Cplx, tpre: Cplx,
     kw = {} if threshold is None else {"threshold": threshold}
     det, lp, pkt = detect_and_align(x, lts_ref, **kw)
     out = fused_rx_chain_txconst(txs, tpre, pkt, lp, eps=eps, serve=serve,
-                                 equalize_with=equalize_with)
+                                 sync=sync, equalize_with=equalize_with)
     out["detected"] = det["detected"]
     out["start"] = det["start"]
     out["metric"] = det["metric"]
