@@ -190,6 +190,23 @@ def test_kernel_raw_stream_mode():
                                   np.asarray(h_b.re))
 
 
+def test_kernel_raw_stream_mesh_mode():
+    """gen='kernel_raw' with a dp mesh: per-shard generative raw system,
+    summaries combined by one psum — runs on the virtual CPU mesh."""
+    import jax
+    import jax.numpy as jnp
+
+    from tpu80211.parallel import make_mesh
+
+    mesh = make_mesh(dp=2, blk=1, devices=jax.devices()[:2])
+    step, s0 = stream.make_device_stream_step(256, snr_db=30.0,
+                                              gen="kernel_raw", mesh=mesh)
+    summary, sample_h, s1 = step(jnp.int32(0), s0)
+    assert float(summary["detect_rate"]) == 1.0
+    assert np.isfinite(float(summary["evm_rms"]))
+    assert sample_h.re.shape == (53, 256)
+
+
 def test_device_stream_steps_are_chained():
     """The carried state makes each batch's generator key depend on the
     previous batch's outputs — the device-side serialization the

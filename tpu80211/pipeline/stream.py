@@ -245,10 +245,11 @@ def make_device_stream_step(
     )
 
     if mesh is not None:
-        assert gen == "kernel", "mesh streaming requires the in-kernel generator"
+        assert gen in ("kernel", "kernel_raw"), (
+            "mesh streaming requires an in-kernel generator")
         return _make_device_stream_step_mesh(
             mesh, batch, seed, snr_db, dtype, sample, channel_model,
-            txs, tpre,
+            txs, tpre, gen=gen,
         )
     # "rbg" = XLA RngBitGenerator — ~an order of magnitude cheaper than
     # threefry for the ~90M random bits each batch needs on TPU; the
@@ -380,9 +381,10 @@ def make_device_stream_step(
 
 
 def _make_device_stream_step_mesh(mesh, batch, seed, snr_db, dtype, sample,
-                                  channel_model, txs, tpre):
+                                  channel_model, txs, tpre, gen="kernel"):
     """shard_map twin of the device stream step: per-dp-shard in-kernel
-    generation + chain, one psum for the global summaries."""
+    generation + chain (gen="kernel") or the fully generative raw system
+    (gen="kernel_raw"), one psum for the global summaries."""
     import jax.numpy as jnp
     from jax.sharding import PartitionSpec as P
 
@@ -392,6 +394,57 @@ def _make_device_stream_step_mesh(mesh, batch, seed, snr_db, dtype, sample,
     dp = mesh.shape["dp"]
     local = batch // dp
     assert local * dp == batch and local % GL == 0, (batch, dp, GL)
+
+    if gen == "kernel_raw":
+        from tpu80211 import constants as C
+        from tpu80211.kernels.raw_gen_chain import gen_raw_system
+        from tpu80211.ops.detect import lts_time_symbol
+
+        from tpu80211.datasets.loader import load_capture
+
+        cap = load_capture()
+        lts0 = lts_time_symbol(Cplx.from_complex(cap.tx_lptot))
+        lts = Cplx(jnp.asarray(lts0.re, jnp.float32),
+                   jnp.asarray(lts0.im, jnp.float32))
+        evm_den = float(np.sum(np.asarray(txs.re[:, :C.N_BLOCKS]) ** 2
+                               + np.asarray(txs.im[:, :C.N_BLOCKS]) ** 2))
+
+        def shard_step(i, state):
+            rank = jax.lax.axis_index("dp")
+            kseed = (jnp.asarray(seed + i * 65537, jnp.int32)
+                     + state * jnp.asarray(2654435761 % (2 ** 31), jnp.int32)
+                     + rank.astype(jnp.int32) * jnp.asarray(97003, jnp.int32))
+            out = gen_raw_system(kseed, local, txs, tpre, lts,
+                                 snr_db=snr_db, channel_model=channel_model)
+            det = out["detected"]
+            err = out["start"] - out["offsets"]
+            in_band = jnp.logical_and(err >= -4, err <= -2)
+            # one vector psum over dp: [n_det, n_in_band, Σevm]
+            packed = jax.lax.psum(jnp.stack([
+                jnp.sum(det.astype(jnp.float32)),
+                jnp.sum(in_band.astype(jnp.float32)),
+                jnp.sum(out["evm_sums"]),
+            ]), "dp")
+            summary = {
+                "detect_rate": packed[0] / batch,
+                "timing_in_band_rate": packed[1] / batch,
+                "evm_rms": jnp.sqrt(packed[2] / (batch * evm_den)),
+            }
+            hm = out["h_mmse"]
+            sample_h = Cplx(hm.re[:, :sample], hm.im[:, :sample])
+            chk = jax.lax.psum(jnp.sum(out["checksum"]), "dp")
+            state = jnp.mod(jnp.abs(chk) * 1e3, 65536.0).astype(jnp.int32)
+            return summary, sample_h, state
+
+        mapped = jax.shard_map(
+            shard_step, mesh=mesh,
+            in_specs=(P(), P()),
+            out_specs=({"detect_rate": P(), "timing_in_band_rate": P(),
+                        "evm_rms": P()},
+                       Cplx(P(None, "dp"), P(None, "dp")), P()),
+            check_vma=False,
+        )
+        return jax.jit(mapped), jnp.zeros((), jnp.int32)
 
     def shard_step(i, state):
         rank = jax.lax.axis_index("dp")
