@@ -64,6 +64,12 @@ def _raw_kernel(xr_ref, xi_ref, wrr_ref, wri_ref,
     if xr_ref.dtype == jnp.bfloat16:
         # packed-int32 barrel on the raw bf16 planes — ~half the passes
         cur_r, cur_i = dk._barrel_align_packed(xr_ref[:], xi_ref[:], s, ns)
+    elif xr_ref.dtype == jnp.int8:
+        # int8 ADC words are exact in bf16 — upcast once and take the
+        # packed path (the f32 barrel costs ~2× the passes)
+        cur_r, cur_i = dk._barrel_align_packed(
+            xr_ref[:].astype(jnp.bfloat16), xi_ref[:].astype(jnp.bfloat16),
+            s, ns)
     else:
         cur_r, cur_i = dk._barrel_align(xr, xi, s, ns)
     # hand the chain body bf16 VALUES so its DFTs take the single-pass
