@@ -85,12 +85,31 @@ def main():
         rows.append(row)
         print(json.dumps(row))
 
+    # ---- false-alarm rate on pure noise vs threshold (the ROC's other
+    # axis; complements the sensitivity rows above) ----------------------
+    from tpu80211.kernels.detect_kernel import detect_streams
+
+    rng = np.random.default_rng(0)
+    nb = 8192
+    noise = (rng.standard_normal((2048, nb))
+             + 1j * rng.standard_normal((2048, nb))) * 0.01
+    xn = Cplx(jnp.asarray(noise.real, jnp.float32),
+              jnp.asarray(noise.imag, jnp.float32))
+    fa_rows = []
+    for thr in (0.3, 0.4, 0.5, 0.6):
+        res = detect_streams(xn, lts, threshold=thr)
+        fa = float(np.asarray(res["detected"]).mean())
+        fa_rows.append({"threshold": thr, "false_alarm_rate": fa,
+                       "streams": nb})
+        print(json.dumps(fa_rows[-1]))
+
     out_doc = {
         "metric": "generative raw system accuracy vs SNR (detection, "
                   "timing, CFO recovery, post-CPE EVM; cfo_khz=20, "
                   "equalize_with=h_mmse)",
         "device": str(jax.devices()[0]),
         "rows": rows,
+        "false_alarm_on_noise": fa_rows,
     }
     path = pathlib.Path(__file__).resolve().parents[1] / "artifacts"
     path.mkdir(exist_ok=True)
