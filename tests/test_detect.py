@@ -329,6 +329,18 @@ def test_detect_kernel_matches_xla_on_tpu(capture):
         for k in ("h_mmse", "h_wiener", "eq"):
             assert np.array_equal(np.asarray(a[k].re),
                                   np.asarray(b2[k].re)), k
+        # the sync (CFO/CPE) kernel path must COMPILE and run on the
+        # real chip — it was a latent on-chip failure for two rounds
+        # (atan2/f32-iota have no Mosaic lowering) because only
+        # interpret mode ever traced it
+        from tpu80211.kernels.fused_chain import fused_rx_chain_txconst
+        lp2, pkt2 = a["eq"], None  # noqa: F841 (clarity only)
+        det2, lpx, pktx = __import__(
+            "tpu80211.kernels.detect_kernel", fromlist=["detect_and_align"]
+        ).detect_and_align(xc, lts)
+        outs = fused_rx_chain_txconst(txs, tpre, pktx, lpx, sync=True)
+        assert np.isfinite(np.asarray(outs["cfo"])).all()
+        assert np.isfinite(np.asarray(outs["eq"].re)).all()
         print("TPU_OK")
     """)
     import pytest
