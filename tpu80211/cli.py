@@ -422,6 +422,12 @@ def _cmd_raw(args) -> int:
     b = -(-args.batch // 128) * 128
     ns = args.ns
     assert ns % 64 == 0, "--ns must be a multiple of 64"
+    # offsets are drawn from [40, ns-1400) and the 1360-sample frame is
+    # embedded at offset+1360 <= ns; 1504 is the smallest multiple of 64
+    # leaving that draw range non-empty
+    assert ns >= 1504, (
+        f"--ns {ns} too short: need >= 1504 samples "
+        "(40-sample min offset + 1360-sample frame + alignment margin)")
     cap = load_capture()
     rng = np.random.default_rng(args.seed)
     frame = np.concatenate([cap.rx_lptot, cap.rx_packet])

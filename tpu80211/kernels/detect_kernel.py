@@ -184,7 +184,13 @@ def _detect_core(xr, xi, wrr, wri, *, ns, threshold, search, advance,
     idx_m = jax.lax.broadcasted_iota(jnp.int32, (nm, 1), 0)
     if decimate:
         idx_m = idx_m * 16                          # block → sample units
-    mask_m = jnp.logical_and(idx_m >= lo, idx_m < lo + 2 * search)
+    # undetected lanes: _first_true returns nm so [lo, lo+2·search) is
+    # empty and the metric would read 0.0, while the XLA path's argmax
+    # of an all-False mask lands at lo=0 and reports the window peak —
+    # match that (metric = peak over [0, 2·search)) so thresholding on
+    # `metric` is backend-independent
+    lo_m = jnp.where(det > 0, lo, 0)
+    mask_m = jnp.logical_and(idx_m >= lo_m, idx_m < lo_m + 2 * search)
     peak_m = jnp.max(jnp.where(mask_m, m, 0.0), axis=0, keepdims=True)
     return det, coarse, start, peak_m
 
@@ -332,7 +338,9 @@ def detect_streams(
     kernel speed.  B must be a multiple of LANES; NS a multiple of 64.
     ``decimate=True`` samples the coarse metric every 16 offsets (see
     _detect_core) — ~40% faster, identical fine timing, 16-granular
-    ``coarse``."""
+    ``coarse``.  Off-TPU the XLA fallback ignores ``decimate`` (always
+    full-resolution), so ``coarse`` granularity differs between
+    backends when decimating; ``detected``/``start`` do not."""
     ns, b = x.shape
     assert b % LANES == 0, (b, LANES)
     assert ns % LAG == 0, ns

@@ -162,7 +162,10 @@ def raw_rx_txconst_fused(
             x = Cplx(x.re.astype(jnp.float32) * lsb,
                      x.im.astype(jnp.float32) * lsb)
         res = raw_rx_txconst(x, lts_ref, txs, tpre, threshold=thr,
-                             eps=eps, serve=serve,
+                             eps=eps, serve=serve, sync=sync,
+                             search=search, advance=advance,
+                             wiener_model=wiener_model,
+                             wiener_snr_db=wiener_snr_db,
                              equalize_with=equalize_with)
         if stream_sums:
             # same contract as the kernel: per-stream Σ|eq − tx|²

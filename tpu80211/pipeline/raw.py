@@ -26,6 +26,9 @@ from tpu80211.kernels.fused_chain import fused_rx_chain_txconst
 def raw_rx_txconst(x: Cplx, lts_ref: Cplx, txs: Cplx, tpre: Cplx,
                    threshold: float | None = None, eps=0.0,
                    serve: bool = False, sync: bool = False,
+                   search: int = 192, advance: int = 4,
+                   wiener_model: str | None = None,
+                   wiener_snr_db: float | None = None,
                    equalize_with: str = "h_linear") -> dict:
     """Full raw-stream receiver for a lane-major (NS, B) stream batch.
 
@@ -36,9 +39,12 @@ def raw_rx_txconst(x: Cplx, lts_ref: Cplx, txs: Cplx, tpre: Cplx,
     serialization hook, applied inside the chain kernel (detection is
     scale-free — its normalized metric cancels any input gain)."""
     kw = {} if threshold is None else {"threshold": threshold}
-    det, lp, pkt = detect_and_align(x, lts_ref, **kw)
+    det, lp, pkt = detect_and_align(x, lts_ref, search=search,
+                                    advance=advance, **kw)
     out = fused_rx_chain_txconst(txs, tpre, pkt, lp, eps=eps, serve=serve,
-                                 sync=sync, equalize_with=equalize_with)
+                                 sync=sync, wiener_model=wiener_model,
+                                 wiener_snr_db=wiener_snr_db,
+                                 equalize_with=equalize_with)
     out["detected"] = det["detected"]
     out["start"] = det["start"]
     out["metric"] = det["metric"]

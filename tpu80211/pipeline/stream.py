@@ -282,7 +282,13 @@ def make_device_stream_step(
             det = out["detected"]
             err = out["start"] - out["offsets"]
             in_band = jnp.logical_and(err >= -4, err <= -2)
-            evm2 = jnp.sum(out["evm_sums"]) / (batch * evm_den)
+            # EVM over DETECTED streams only: undetected lanes are
+            # force-aligned at offset 0 and equalized against garbage,
+            # so near threshold an all-streams sum measures misdetection,
+            # not receiver quality (detect_rate reports that separately)
+            ndet = jnp.maximum(jnp.sum(det.astype(jnp.float32)), 1.0)
+            evm2 = (jnp.sum(jnp.where(det, out["evm_sums"], 0.0))
+                    / (ndet * evm_den))
             hm = out["h_mmse"]
             h = out["h_true"]
             mag_e = jnp.sqrt(hm.re * hm.re + hm.im * hm.im)
@@ -319,7 +325,10 @@ def make_device_stream_step(
             det = out["detected"]
             err = out["start"] - offs
             in_band = jnp.logical_and(err >= -4, err <= -2)
-            evm2 = jnp.sum(out["evm_sums"]) / (batch * evm_den)
+            # detected-only EVM (see the kernel_raw branch note above)
+            ndet = jnp.maximum(jnp.sum(det.astype(jnp.float32)), 1.0)
+            evm2 = (jnp.sum(jnp.where(det, out["evm_sums"], 0.0))
+                    / (ndet * evm_den))
             # magnitude NMSE of the MMSE estimate vs the true channel —
             # invariant to the early-extraction phase ramp (which rotates
             # per-bin phase only); the phase-sensitive complement is the
