@@ -1,0 +1,272 @@
+/* Parity-anchor driver for the REFERENCE'S DISTRIBUTED estimators.
+ *
+ * Compiles /root/reference/main_mpi.c + utils.c unmodified (same in-place
+ * scheme as refdriver.cpp) against the loopback MPI in ./mpiloop and
+ * executes every MPI estimator for real, each simulated rank a thread:
+ *
+ *   phase A, 15 ranks (= main_mpi.bash:30 `mpirun -np 15`, set_length=15,
+ *            main_mpi.c:21):  LT_LS (main_mpi.c:168), PS_Linear (:248),
+ *            PS_MMSE1 (:636), and utils.c:273 inverse_mpi standalone;
+ *   phase B, 20 ranks (the count PS_Cubic/PS_Sinc hardcode via their five
+ *            4-rank groups, main_mpi.c:366-385/534-549; 20 = the LSF
+ *            allocation, main_mpi.bash:5):  PS_Cubic (:351), PS_Sinc (:517);
+ *   phase C, 13 ranks (the MMSE2 dataflow graph's node count,
+ *            main_mpi.c:755-770):  PS_MMSE2 (:773).
+ *
+ * Wiring note (pinned by tests/test_golden_ref_mpi.py): main_mpi.c:140
+ * passes (H_EST_PS_MMSE, H_EST_LT_LS) to a (H_EST_LT, H_EST) parameter
+ * list — i.e. as shipped, MMSE1/MMSE2 read an UNINITIALIZED buffer as
+ * their LT estimate and write their output over H_EST_LT_LS.  That
+ * wiring is nondeterministic (stack garbage) and cannot be goldened;
+ * this driver wires the parameters as the signatures declare (LT input =
+ * the MPI LT_LS output, fresh output buffer), which is the only
+ * deterministic behavior the reference defines.
+ *
+ * This file contains NO reference code — it only calls the reference's
+ * functions on the reference's inputs.h data (extern here).
+ *
+ * Output format (stdout), parsed by capture_golden_mpi.py:
+ *   EST <name>
+ *   <i> <re-hex> <im-hex>          # %La hex long-double floats
+ *   MAT <name> <rows> <cols>  then r c re im lines (inverse_mpi capture)
+ */
+#include <cmath>
+#include <cstdio>
+#include <thread>
+#include <vector>
+
+#include "utils.h" /* reference header: Common_LT/Common_PS, kernel decls */
+
+#define NSAMP SAMPUTIL
+
+typedef long double complex lcplx;
+
+/* dataset tables defined by the reference's inputs.h (via main_mpi.c) */
+extern lcplx tx_preamble_fft[NSAMP];
+extern lcplx rx_preamble_fft[NSAMP];
+extern lcplx tx_symb[NSAMP * 15];
+extern lcplx rx_symb[NSAMP * 15];
+extern double OW2;
+
+/* distributed estimators defined in the reference's main_mpi.c */
+void WiFi_channel_estimation_LT_LS(lcplx tx_pre[], lcplx rx_pre[],
+                                   lcplx H_EST[], Common_LT *commonLT,
+                                   int argc, char *argv[]);
+void WiFi_channel_estimation_PS_Linear(lcplx H_EST[], Common_PS *commonPS,
+                                       int argc, char *argv[]);
+void WiFi_channel_estimation_PS_Cubic(lcplx H_EST[], Common_PS *commonPS,
+                                      int argc, char *argv[]);
+void WiFi_channel_estimation_PS_Sinc(lcplx H_EST[], Common_PS *commonPS,
+                                     int argc, char *argv[]);
+void WiFi_channel_estimation_PS_MMSE1(lcplx tx_symbols[], lcplx rx_symbols[],
+                                      lcplx H_EST_LT[], lcplx H_EST[],
+                                      Common_PS *commonPS, int argc,
+                                      char *argv[]);
+void WiFi_channel_estimation_PS_MMSE2(lcplx tx_symbols[], lcplx rx_symbols[],
+                                      lcplx H_EST_LT[], lcplx H_EST[],
+                                      Common_PS *commonPS, int argc,
+                                      char *argv[]);
+
+static void dump(const char *name, const lcplx *h, int n = NSAMP) {
+    printf("EST %s\n", name);
+    for (int i = 0; i < n; i++)
+        printf("%d %La %La\n", i, creall(h[i]), cimagl(h[i]));
+}
+
+static void dump_mat(const char *name, lcplx **m) {
+    printf("MAT %s %d %d\n", name, NSAMP, NSAMP);
+    for (int r = 0; r < NSAMP; r++)
+        for (int c = 0; c < NSAMP; c++)
+            printf("%d %d %La %La\n", r, c, creall(m[r][c]), cimagl(m[r][c]));
+}
+
+/* shared pilot setup replicating main_mpi.c:41-97 on every rank */
+struct PhaseData {
+    lcplx tx_vec[NSAMP], rx_vec[NSAMP];
+    long double pil_re[4], pil_im[4];
+};
+
+static void common_setup(int rank, PhaseData *pd, Common_LT *clt,
+                         Common_PS *cps, int set_length) {
+    MPI_Status status = {0, 0, 0};
+    MPI_Barrier(MPI_COMM_WORLD);
+    if (rank == 0) {
+        const int block = 0; /* main_mpi.c:34: OFDM_block = 0 */
+        for (int r = 0; r < NSAMP; r++) {
+            pd->tx_vec[r] = tx_symb[NSAMP * block + r];
+            pd->rx_vec[r] = rx_symb[NSAMP * block + r];
+        }
+        lcplx txp[4] = {pd->tx_vec[P0], pd->tx_vec[P1], pd->tx_vec[P2],
+                        pd->tx_vec[P3]};
+        lcplx rxp[4] = {pd->rx_vec[P0], pd->rx_vec[P1], pd->rx_vec[P2],
+                        pd->rx_vec[P3]};
+        for (int i = 0; i < 4; i++) {
+            pd->pil_re[i] = creall(rxp[i] / txp[i]);
+            pd->pil_im[i] = cimagl(rxp[i] / txp[i]);
+        }
+    }
+    MPI_Bcast(pd->pil_re, 4, MPI_LONG_DOUBLE, 0, MPI_COMM_WORLD);
+    MPI_Bcast(pd->pil_im, 4, MPI_LONG_DOUBLE, 0, MPI_COMM_WORLD);
+
+    if (clt) {
+        clt->numprocs = set_length;
+        clt->rank = rank % set_length;
+        clt->status = status;
+        clt->tag1 = 1;
+        clt->tag2 = 2;
+        clt->tag3 = 3;
+        clt->comm = MPI_COMM_WORLD; /* one frame group = world membership */
+    }
+    cps->numprocs = set_length;
+    cps->rank = rank % set_length;
+    cps->status = status;
+    cps->tag1 = 1;
+    cps->tag2 = 2;
+    cps->tag3 = 3;
+    cps->tag4 = 4;
+    cps->tag5 = 5;
+    cps->tag6 = 6;
+    for (int i = 0; i < NSAMP; i++) cps->H_PILOTS[i] = 0.0;
+    cps->H_PILOTS[P0] = pd->pil_re[0] + I * pd->pil_im[0];
+    cps->H_PILOTS[P1] = pd->pil_re[1] + I * pd->pil_im[1];
+    cps->H_PILOTS[P2] = pd->pil_re[2] + I * pd->pil_im[2];
+    cps->H_PILOTS[P3] = pd->pil_re[3] + I * pd->pil_im[3];
+    cps->comm = MPI_COMM_WORLD;
+}
+
+/* rank-0 result stores (written only by the rank-0 thread, read after join) */
+static lcplx g_lt[NSAMP], g_lin[NSAMP], g_mmse1[NSAMP];
+static lcplx g_cub[NSAMP + 2], g_sin[NSAMP + 2]; /* +2: main_mpi.c:492-494
+    writes H_EST[53] and H_EST[54] on round i=10 (k=53,54 out of range ->
+    group sums are 0.0 but rank 0 still stores them) — a real out-of-bounds
+    write in the reference; slack slots make it observable safely */
+static lcplx g_mmse2[NSAMP];
+static lcplx **g_invF;
+
+static void phase_a(int rank, int world, int argc, char **argv) {
+    mpiloop_bind_thread(rank);
+    PhaseData pd;
+    Common_LT clt;
+    Common_PS cps;
+    common_setup(rank, &pd, &clt, &cps, world);
+
+    lcplx h_lt[NSAMP] = {0};
+    MPI_Barrier(MPI_COMM_WORLD); /* main_mpi.c:98 */
+    WiFi_channel_estimation_LT_LS(tx_preamble_fft, rx_preamble_fft, h_lt,
+                                  &clt, argc, argv);
+    MPI_Barrier(MPI_COMM_WORLD);
+    /* every rank needs the LT result as the MMSE1 input; only rank 0
+     * holds it (worker shares were sent there) — rebroadcast the planes
+     * the same way the reference marshals complex data */
+    long double lt_re[NSAMP], lt_im[NSAMP];
+    if (rank == 0)
+        for (int i = 0; i < NSAMP; i++) {
+            lt_re[i] = creall(h_lt[i]);
+            lt_im[i] = cimagl(h_lt[i]);
+        }
+    MPI_Bcast(lt_re, NSAMP, MPI_LONG_DOUBLE, 0, MPI_COMM_WORLD);
+    MPI_Bcast(lt_im, NSAMP, MPI_LONG_DOUBLE, 0, MPI_COMM_WORLD);
+    for (int i = 0; i < NSAMP; i++) h_lt[i] = lt_re[i] + I * lt_im[i];
+    if (rank == 0)
+        for (int i = 0; i < NSAMP; i++) g_lt[i] = h_lt[i];
+
+    lcplx h_lin[NSAMP] = {0};
+    MPI_Barrier(MPI_COMM_WORLD);
+    WiFi_channel_estimation_PS_Linear(h_lin, &cps, argc, argv);
+    MPI_Barrier(MPI_COMM_WORLD);
+    if (rank == 0)
+        for (int i = 0; i < NSAMP; i++) g_lin[i] = h_lin[i];
+
+    /* rank 0 owns tx/rx_vec; MMSE1 needs them on rank 0 only
+     * (main_mpi.c:663-682 builds X4/rx_symbols1 under rank==0) */
+    lcplx h_mmse[NSAMP] = {0};
+    MPI_Barrier(MPI_COMM_WORLD); /* main_mpi.c:139 */
+    WiFi_channel_estimation_PS_MMSE1(pd.tx_vec, pd.rx_vec, h_lt, h_mmse,
+                                     &cps, argc, argv);
+    MPI_Barrier(MPI_COMM_WORLD);
+    if (rank == 0)
+        for (int i = 0; i < NSAMP; i++) g_mmse1[i] = h_mmse[i];
+
+    /* standalone inverse_mpi on the 53x53 DFT matrix (utils.c:273-353),
+     * the exact matrix MMSE1 inverts first (main_mpi.c:678,703) */
+    lcplx **F;
+    lcplx **invF;
+    malloc2dLongDoubleComplex(&F, NSAMP, NSAMP);
+    malloc2dLongDoubleComplex(&invF, NSAMP, NSAMP);
+    for (int r = 0; r < NSAMP; r++)
+        for (int c = 0; c < NSAMP; c++)
+            F[c][r] = cexpl(-2 * I * (long double)M_PI * c * r / NSAMP);
+    MPI_Barrier(MPI_COMM_WORLD);
+    inverse_mpi(F, NSAMP, invF, &cps, argc, argv);
+    MPI_Barrier(MPI_COMM_WORLD);
+    if (rank == 0)
+        g_invF = invF; /* freed at exit */
+}
+
+static void phase_b(int rank, int world, int argc, char **argv) {
+    mpiloop_bind_thread(rank);
+    PhaseData pd;
+    Common_PS cps;
+    common_setup(rank, &pd, nullptr, &cps, world);
+    /* Cubic/Sinc use the WORLD rank to pick their 4-rank group
+     * (main_mpi.c:445, 557); with one 20-rank frame rank%20 == rank */
+
+    lcplx h_cub[NSAMP + 2] = {0};
+    MPI_Barrier(MPI_COMM_WORLD);
+    WiFi_channel_estimation_PS_Cubic(h_cub, &cps, argc, argv);
+    MPI_Barrier(MPI_COMM_WORLD);
+    if (rank == 0)
+        for (int i = 0; i < NSAMP + 2; i++) g_cub[i] = h_cub[i];
+
+    lcplx h_sin[NSAMP + 2] = {0};
+    MPI_Barrier(MPI_COMM_WORLD);
+    WiFi_channel_estimation_PS_Sinc(h_sin, &cps, argc, argv);
+    MPI_Barrier(MPI_COMM_WORLD);
+    if (rank == 0)
+        for (int i = 0; i < NSAMP + 2; i++) g_sin[i] = h_sin[i];
+}
+
+static void phase_c(int rank, int world, int argc, char **argv) {
+    mpiloop_bind_thread(rank);
+    PhaseData pd;
+    Common_PS cps;
+    common_setup(rank, &pd, nullptr, &cps, world);
+
+    /* MMSE2 input H_EST_LT: the phase-A MPI LT_LS result (g_lt), read-only
+     * on rank 1 (main_mpi.c:849-851) */
+    lcplx h_lt[NSAMP];
+    for (int i = 0; i < NSAMP; i++) h_lt[i] = g_lt[i];
+    lcplx h_out[NSAMP] = {0};
+    MPI_Barrier(MPI_COMM_WORLD);
+    WiFi_channel_estimation_PS_MMSE2(pd.tx_vec, pd.rx_vec, h_lt, h_out, &cps,
+                                     argc, argv);
+    MPI_Barrier(MPI_COMM_WORLD);
+    if (rank == 0)
+        for (int i = 0; i < NSAMP; i++) g_mmse2[i] = h_out[i];
+}
+
+static void run_phase(void (*fn)(int, int, int, char **), int world, int argc,
+                      char **argv) {
+    mpiloop_init(world);
+    std::vector<std::thread> ts;
+    for (int r = 0; r < world; r++)
+        ts.emplace_back(fn, r, world, argc, argv);
+    for (auto &t : ts) t.join();
+}
+
+int main(int argc, char **argv) {
+    setvbuf(stdout, nullptr, _IOFBF, 1 << 20);
+    run_phase(phase_a, 15, argc, argv);
+    run_phase(phase_b, 20, argc, argv);
+    run_phase(phase_c, 13, argc, argv);
+
+    printf("CAPTURE mpi\n");
+    dump("lt_ls_mpi", g_lt);
+    dump("ps_linear_mpi", g_lin);
+    dump("ps_mmse1_mpi", g_mmse1);
+    dump("ps_cubic_mpi", g_cub, NSAMP + 2);
+    dump("ps_sinc_mpi", g_sin, NSAMP + 2);
+    dump("ps_mmse2_mpi", g_mmse2);
+    dump_mat("invF_mpi", g_invF);
+    return 0;
+}
