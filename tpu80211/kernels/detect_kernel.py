@@ -102,22 +102,24 @@ def _detect_core(xr, xi, wrr, wri, *, ns, threshold, search, advance,
     kernel below and the fully-fused raw-chain kernel
     (kernels/raw_chain.py).
 
-    ``decimate=True`` evaluates the Schmidl&Cox metric only every 16
-    offsets (via 16-sample block sums — M(16i) EXACTLY, not an
-    approximation): the LTS plateau spans CP+128 ≈ 160 samples, so a
-    16-stride grid can never miss it, and the fine timing still comes
+    ``decimate`` evaluates the Schmidl&Cox metric only every ``stride``
+    offsets (True → 16; any power-of-2 divisor of 64 accepted, via
+    stride-sample block sums — M(stride·i) EXACTLY, not an
+    approximation): the LTS plateau spans CP+128 ≈ 160 samples, so any
+    stride ≤ 64 grid can never miss it, and the fine timing still comes
     from the full-resolution matched filter (its search window is
-    anchored 16 samples before the decimated hit to cover the
+    anchored one stride before the decimated hit to cover the
     granularity).  Saves the ~24 dyadic window-sum passes; ``coarse``
-    is then 16-sample-granular."""
+    is then stride-granular."""
     f32 = jnp.float32
 
     # ---- Schmidl&Cox lag-64 normalized autocorrelation ----------------
     ar, ai = xr[:-LAG], xi[:-LAG]                   # (ns-64, L)
     br, bi = xr[LAG:], xi[LAG:]
+    stride = (16 if decimate is True else int(decimate)) if decimate else 0
     if decimate:
-        stride = 16
-        nblk = (ns - LAG) // stride                 # 16-sample blocks
+        assert WIN % stride == 0 and stride <= WIN, stride
+        nblk = (ns - LAG) // stride                 # stride-sample blocks
         lanes = ar.shape[-1]
 
         def bsum(v):                                # (ns-64, L) → (nblk, L)
@@ -128,18 +130,23 @@ def _detect_core(xr, xi, wrr, wri, *, ns, threshold, search, advance,
         be1 = bsum(ar * ar + ai * ai)
         be2 = bsum(br * br + bi * bi)
 
-        def w4(v):                                  # 4-block windows
-            w2 = v[:-1] + v[1:]
-            return w2[:-2] + w2[2:]                 # (nblk-3, L)
+        nwin = WIN // stride                        # blocks per 64-window
 
-        p_re, p_im, e1, e2 = w4(bp_re), w4(bp_im), w4(be1), w4(be2)
+        def wn(v):                                  # (nblk, L) → sliding sum
+            step = 1
+            while step < nwin:
+                v = v[:-step] + v[step:]
+                step *= 2
+            return v                                # (nblk-nwin+1, L)
+
+        p_re, p_im, e1, e2 = wn(bp_re), wn(bp_im), wn(be1), wn(be2)
         m = (p_re * p_re + p_im * p_im) / jnp.maximum(e1 * e2, 1e-30)
         nm = m.shape[0]
         above = m > threshold
         det = jnp.max(above.astype(jnp.int32), axis=0, keepdims=True)
         c16 = _first_true(above, nm)
         # anchor the fine search one stride early: the true first
-        # crossing can precede the decimated hit by up to 15 samples
+        # crossing can precede the decimated hit by up to stride-1
         coarse = jnp.maximum(c16 * stride - stride, 0)
         search = search + stride
     else:
@@ -183,7 +190,7 @@ def _detect_core(xr, xi, wrr, wri, *, ns, threshold, search, advance,
 
     idx_m = jax.lax.broadcasted_iota(jnp.int32, (nm, 1), 0)
     if decimate:
-        idx_m = idx_m * 16                          # block → sample units
+        idx_m = idx_m * stride                      # block → sample units
     # undetected lanes: _first_true returns nm so [lo, lo+2·search) is
     # empty and the metric would read 0.0, while the XLA path's argmax
     # of an all-False mask lands at lo=0 and reports the window peak —

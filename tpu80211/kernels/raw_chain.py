@@ -43,16 +43,17 @@ def _raw_kernel(xr_ref, xi_ref, wrr_ref, wri_ref,
                 wre_ref, wim_ref, winre_ref, winim_ref, eps_ref, lsb_ref,
                 det_out, coarse_out, start_out, metric_out,
                 *chain_outs, ns, threshold, search, advance, sync,
-                stream_sums=False, equalize_with="h_linear"):
+                stream_sums=False, equalize_with="h_linear",
+                decimate=True):
     f32 = jnp.float32
     xr = xr_ref[:].astype(f32)
     xi = xi_ref[:].astype(f32)
-    # decimated coarse metric: exact stride-16 S&C samples — the fine
+    # decimated coarse metric: exact strided S&C samples — the fine
     # matched-filter timing (full resolution) is unaffected, and the
     # raw receiver never exposes `coarse`
     det, coarse, start, peak_m = dk._detect_core(
         xr, xi, wrr_ref[:], wri_ref[:], ns=ns, threshold=threshold,
-        search=search, advance=advance, decimate=True)
+        search=search, advance=advance, decimate=decimate)
     detected = det > 0
     det_out[:] = det
     coarse_out[:] = jnp.where(detected, coarse, -1)
@@ -92,11 +93,12 @@ def _raw_kernel(xr_ref, xi_ref, wrr_ref, wri_ref,
 
 @functools.partial(jax.jit, static_argnames=(
     "threshold", "search", "advance", "sync", "serve",
-    "wiener_model", "wiener_snr_db", "stream_sums", "equalize_with"))
+    "wiener_model", "wiener_snr_db", "stream_sums", "equalize_with",
+    "decimate"))
 def _raw_call(xr, xi, wrr, wri, txs_r, txs_i, tpc_r, tpc_i, eps,
               threshold, search, advance, sync=False, serve=False,
               wiener_model=None, wiener_snr_db=None, lsb=1.0,
-              stream_sums=False, equalize_with="h_linear"):
+              stream_sums=False, equalize_with="h_linear", decimate=True):
     ns, b = xr.shape
     ntile = b // LANES
 
@@ -125,7 +127,7 @@ def _raw_call(xr, xi, wrr, wri, txs_r, txs_i, tpc_r, tpc_i, eps,
         functools.partial(_raw_kernel, ns=ns, threshold=threshold,
                           search=search, advance=advance, sync=sync,
                           stream_sums=stream_sums,
-                          equalize_with=equalize_with),
+                          equalize_with=equalize_with, decimate=decimate),
         grid=(ntile,),
         in_specs=[vspec(ns), vspec(ns), wspec, wspec,
                   tspec, tspec, pspec, pspec] + cspecs,
@@ -142,6 +144,7 @@ def raw_rx_txconst_fused(
     eps=0.0, sync: bool = False, serve: bool = False,
     wiener_model: str | None = None, wiener_snr_db: float | None = None,
     lsb=1.0, stream_sums: bool = False, equalize_with: str = "h_linear",
+    decimate=True,
 ) -> dict:
     """One-kernel raw receiver: lane-major (NS, B) streams →
     fused_rx_chain_txconst's output dict + detected/start/metric rows.
@@ -150,8 +153,13 @@ def raw_rx_txconst_fused(
     dominant HBM read halves vs bf16.  ``stream_sums=True`` is the
     streaming configuration: per-stream Σ|eq − tx|² accumulates IN the
     kernel (``evm_sums`` key, (B,)) and the (15, 53, B) eq tensor never
-    leaves the chip (``eq`` is None).  Falls back to the staged
-    pipeline off-TPU (eq-based EVM computed there by the caller)."""
+    leaves the chip (``eq`` is None).  ``decimate`` sets the coarse
+    Schmidl&Cox stride (True → 16, the sensitivity-record default; 32
+    is the high-SNR serving knob at +12% throughput for −0.09%
+    detection at −5 dB; 64 trades 1.9% of −5 dB detection for +19% —
+    measured, artifacts/raw_kernel_anatomy.json).  Falls back to the
+    staged pipeline off-TPU (eq-based EVM computed there by the
+    caller; the fallback ignores ``decimate``)."""
     from tpu80211.ops.detect import DEFAULT_THRESHOLD
 
     thr = DEFAULT_THRESHOLD if threshold is None else threshold
@@ -193,7 +201,7 @@ def raw_rx_txconst_fused(
         threshold=float(thr), search=int(search), advance=int(advance),
         sync=sync, serve=serve, wiener_model=wiener_model,
         wiener_snr_db=wiener_snr_db, lsb=lsb, stream_sums=stream_sums,
-        equalize_with=equalize_with)
+        equalize_with=equalize_with, decimate=decimate)
     det, coarse, start, metric = outs[:4]
     res = fc._pack_outputs(outs[4:], serve=serve, eq_stub=stream_sums,
                            evm_sums=stream_sums)
