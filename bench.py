@@ -245,7 +245,8 @@ def _marginal(step, iters, s0, incs):
     return margins[reps // 2]
 
 
-def _bench_raw_system(iters: int = 24, batch: int = 32768) -> dict:
+def _bench_raw_system(iters: int = 24, batch: int = 32768,
+                      decimate: int = 16) -> dict:
     """ONE-kernel raw receiver (kernels/raw_chain.py): detect → barrel
     align → 7-estimator chain in a single Pallas invocation, decimated
     coarse metric — the complete raw-sample system the reference's
@@ -262,9 +263,11 @@ def _bench_raw_system(iters: int = 24, batch: int = 32768) -> dict:
     x, offs, lts, txs, tpre, evm_den = _raw_workload(batch)
     # production equalizer (equalize_with="h_mmse"): the default
     # h_linear blend diverges on deep fades (squared-EVM tails dominate
-    # the rms; median is still ~0.29) and is not the serving shape
+    # the rms; median is still ~0.29) and is not the serving shape.
+    # ``decimate``: 16 = the sensitivity-record default; 32 = the
+    # recommended high-SNR serving stride (PERF.md "Raw-kernel anatomy")
     out = raw_rx_txconst_fused(x, lts, txs, tpre, stream_sums=True,
-                               equalize_with="h_mmse")
+                               equalize_with="h_mmse", decimate=decimate)
     det = np.asarray(out["detected"])
     err = np.asarray(out["start"]) - offs
     assert det.all(), ("raw system missed packets", int((~det).sum()))
@@ -280,7 +283,7 @@ def _bench_raw_system(iters: int = 24, batch: int = 32768) -> dict:
     def step_x(xr, xi, s, inc):
         r = raw_rx_txconst_fused(Cplx(xr, xi), lts, txs, tpre,
                                  eps=s + inc, stream_sums=True,
-                                 equalize_with="h_mmse")
+                                 equalize_with="h_mmse", decimate=decimate)
         return jnp.tanh(jnp.sum(r["checksum"])) * 1e-9
 
     def step(s, inc):
@@ -296,6 +299,7 @@ def _bench_raw_system(iters: int = 24, batch: int = 32768) -> dict:
         "ms_per_step": round(1e3 * dt / iters, 4),
         "batch": batch,
         "iters": iters,
+        "decimate_stride": decimate,
         "gates": {
             "detect_rate": 1.0,
             "timing_err_band": [int(err.min()), int(err.max())],
@@ -489,15 +493,23 @@ def main():
         bf16 = True
     dtype = jnp.bfloat16 if bf16 else jnp.float32
 
-    if "--raw" in sys.argv[1:] or "--genraw" in sys.argv[1:]:
+    raw_flags = [f for f in ("--raw", "--raw32", "--genraw")
+                 if f in sys.argv[1:]]
+    if raw_flags:
         # raw-sample system rows (single path, fresh-process isolation)
-        fn = (_bench_raw_system if "--raw" in sys.argv[1:]
-              else _bench_gen_raw_system)
-        name = ("one-kernel raw receiver (detect+align+7-estimator chain)"
-                if "--raw" in sys.argv[1:] else
-                "fully generative in-kernel raw system (synthesize+detect"
-                "+align+chain)")
-        row = fn(**({"batch": int(argv[0])} if argv else {}))
+        flag = raw_flags[0]
+        kw = {"batch": int(argv[0])} if argv else {}
+        if flag == "--genraw":
+            fn = _bench_gen_raw_system
+            name = ("fully generative in-kernel raw system "
+                    "(synthesize+detect+align+chain)")
+        else:
+            fn = _bench_raw_system
+            name = "one-kernel raw receiver (detect+align+7-estimator chain)"
+            if flag == "--raw32":
+                kw["decimate"] = 32
+                name += " [stride-32 serving]"
+        row = fn(**kw)
         print(json.dumps({
             "metric": f"{name} frames/s, single chip, serialized, gated",
             "unit": "frames/s", **row, "device": str(jax.devices()[0]),
@@ -547,11 +559,12 @@ def main():
         # fallback at this batch measures nothing meaningful.
         from tpu80211.kernels import on_tpu as _on_tpu
 
-        raw = genraw = None
+        raw = raw32 = genraw = None
         if _on_tpu():
             raw = run_sub(["--raw"])
+            raw32 = run_sub(["--raw32"])
             genraw = run_sub(["--genraw"])
-            rows += [raw, genraw]
+            rows += [raw, raw32, genraw]
         for row in rows:
             for k in ("metric", "unit", "device"):
                 row.pop(k, None)
@@ -565,6 +578,7 @@ def main():
         }
         if raw is not None:
             result["raw_system"] = raw
+            result["raw_system_stride32"] = raw32
             result["gen_raw_system"] = genraw
 
     result["device"] = str(jax.devices()[0])
