@@ -291,6 +291,15 @@ def test_detect_kernel_matches_xla_on_tpu(capture):
         res = detect_streams(xc, lts)
         for k in ("detected", "coarse", "start"):
             assert (np.asarray(res[k]) == np.asarray(ref[k])).all(), k
+        # decimated coarse strides (16/32/64): coarse becomes
+        # stride-granular but detection and the fine (matched-filter)
+        # timing must stay EXACTLY equal to the full-resolution path
+        for stride in (16, 32, 64):
+            resd = detect_streams(xc, lts, decimate=stride)
+            assert (np.asarray(resd["detected"])
+                    == np.asarray(ref["detected"])).all(), stride
+            assert (np.asarray(resd["start"])
+                    == np.asarray(ref["start"])).all(), stride
         det, lp, pkt = detect_and_align(xc, lts)
         starts = np.asarray(det["start"])
         assert (starts == np.asarray(ref["start"])).all()
