@@ -410,6 +410,39 @@ def detect_and_align(
     return res, Cplx(lp_r, lp_i), Cplx(pkt_r, pkt_i)
 
 
+def _barrel_place_packed(sr, si, offs, ns, nbits=None):
+    """Packed-int32 INVERSE barrel: roll each lane's bf16 planes DOWN by
+    ``offs`` at ~half the f32 passes (the placement-direction twin of
+    `_barrel_align_packed`): even offset bits are half-height int32
+    rolls, the odd bit a half-word recombination pulling the previous
+    word's high half.  ``nbits`` bounds the offset width (default
+    ceil(log2 ns)); callers whose offsets are provably narrower pass a
+    tighter bound and skip the dead passes.  Returns bf16 planes."""
+    pr = pltpu.bitcast(sr, jnp.int32)               # (ns/2, L)
+    pi = pltpu.bitcast(si, jnp.int32)
+    if nbits is None:
+        nbits = max(1, int(np.ceil(np.log2(ns))))
+    for b in range(1, nbits):
+        sh32 = (1 << b) // 2
+        bit = jnp.bitwise_and(
+            jax.lax.shift_right_logical(offs, b), 1) > 0
+        pr = jnp.where(bit, pltpu.roll(pr, sh32, 0), pr)
+        pi = jnp.where(bit, pltpu.roll(pi, sh32, 0), pi)
+
+    def shift1_down(p):
+        prv = pltpu.roll(p, 1, 0)
+        return jnp.bitwise_or(
+            jax.lax.shift_right_logical(prv, 16),
+            jax.lax.shift_left(jnp.bitwise_and(p, 0xFFFF), 16),
+        )
+
+    bit0 = jnp.bitwise_and(offs, 1) > 0
+    pr = jnp.where(bit0, shift1_down(pr), pr)
+    pi = jnp.where(bit0, shift1_down(pi), pi)
+    return (pltpu.bitcast(pr, jnp.bfloat16),
+            pltpu.bitcast(pi, jnp.bfloat16))
+
+
 def _place_kernel(sr_ref, si_ref, nr_ref, ni_ref, off_ref, xr_ref, xi_ref,
                   *, ns):
     """Inverse barrel shifter: roll each lane's frame DOWN by its offset
@@ -420,28 +453,10 @@ def _place_kernel(sr_ref, si_ref, nr_ref, ni_ref, off_ref, xr_ref, xi_ref,
     offs = off_ref[:]                               # (1, L) int32
     nbits = max(1, int(np.ceil(np.log2(ns))))
     if sr_ref.dtype == jnp.bfloat16:
-        half = ns // 2
-        pr = pltpu.bitcast(sr_ref[:], jnp.int32)
-        pi = pltpu.bitcast(si_ref[:], jnp.int32)
-        for b in range(1, nbits):
-            sh32 = (1 << b) // 2
-            bit = jnp.bitwise_and(
-                jax.lax.shift_right_logical(offs, b), 1) > 0
-            pr = jnp.where(bit, pltpu.roll(pr, sh32, 0), pr)
-            pi = jnp.where(bit, pltpu.roll(pi, sh32, 0), pi)
-
-        def shift1_down(p):
-            prv = pltpu.roll(p, 1, 0)
-            return jnp.bitwise_or(
-                jax.lax.shift_right_logical(prv, 16),
-                jax.lax.shift_left(jnp.bitwise_and(p, 0xFFFF), 16),
-            )
-
-        bit0 = jnp.bitwise_and(offs, 1) > 0
-        pr = jnp.where(bit0, shift1_down(pr), pr)
-        pi = jnp.where(bit0, shift1_down(pi), pi)
-        cur_r = pltpu.bitcast(pr, jnp.bfloat16).astype(f32)
-        cur_i = pltpu.bitcast(pi, jnp.bfloat16).astype(f32)
+        br_, bi_ = _barrel_place_packed(sr_ref[:], si_ref[:], offs, ns,
+                                        nbits=nbits)
+        cur_r = br_.astype(f32)
+        cur_i = bi_.astype(f32)
     else:
         cur_r = sr_ref[:].astype(f32)
         cur_i = si_ref[:].astype(f32)

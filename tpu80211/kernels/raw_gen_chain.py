@@ -140,13 +140,17 @@ def _gen_raw_kernel(txs_r, txs_i, tpc_r, tpc_i, vre_ref, vim_ref,
         pltpu.prng_random_bits((1, LANES)).astype(jnp.int32), 0x7FFFFFFF)
     offs = 40 + jnp.remainder(obits, span)          # (1, L) in [40, ns-1360)
     offs_out[:] = offs
-    nbits = max(1, int(np.ceil(np.log2(ns))))
-    for b in range(nbits):
-        sh = (1 << b) % ns
-        bit = jnp.bitwise_and(
-            jax.lax.shift_right_logical(offs, b), 1) > 0
-        sig_r = jnp.where(bit, pltpu.roll(sig_r, sh, 0), sig_r)
-        sig_i = jnp.where(bit, pltpu.roll(sig_i, sh, 0), sig_i)
+    # packed-int32 placement on bf16 planes (~half the f32 passes, and
+    # offs < ns-total needs only ceil(log2(ns-total)) bits, not
+    # ceil(log2 ns)).  Quantizing the CLEAN signal to bf16 here models
+    # the production input path — the receiver's raw streams are bf16
+    # sample words — and sits ~10 dB below the SNR-40 noise floor.
+    nbits = max(1, int(np.ceil(np.log2(ns - total))))
+    sig_bf_r, sig_bf_i = dk._barrel_place_packed(
+        sig_r.astype(jnp.bfloat16), sig_i.astype(jnp.bfloat16),
+        offs, ns, nbits=nbits)
+    sig_r = sig_bf_r.astype(f32)
+    sig_i = sig_bf_i.astype(f32)
 
     # per-stream carrier-frequency offset (the impairment the reference's
     # capture carries at 20 kHz, WiFi_RX.m:9): uniform in ±cfo_khz,
