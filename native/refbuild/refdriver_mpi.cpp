@@ -203,6 +203,8 @@ static void phase_a(int rank, int world, int argc, char **argv) {
         g_invF = invF; /* freed at exit */
 }
 
+static lcplx **g_invF_old;
+
 static void phase_b(int rank, int world, int argc, char **argv) {
     mpiloop_bind_thread(rank);
     PhaseData pd;
@@ -224,6 +226,22 @@ static void phase_b(int rank, int world, int argc, char **argv) {
     MPI_Barrier(MPI_COMM_WORLD);
     if (rank == 0)
         for (int i = 0; i < NSAMP + 2; i++) g_sin[i] = h_sin[i];
+
+    /* utils.c:201-271 inverse_mpi_old — the dead predecessor hardcoding
+     * the 20-rank layout (columns {rank, rank+20, rank+40<53}); this
+     * phase IS that layout, so it runs as written */
+    lcplx **F;
+    lcplx **invF;
+    malloc2dLongDoubleComplex(&F, NSAMP, NSAMP);
+    malloc2dLongDoubleComplex(&invF, NSAMP, NSAMP);
+    for (int r = 0; r < NSAMP; r++)
+        for (int c = 0; c < NSAMP; c++)
+            F[c][r] = cexpl(-2 * I * (long double)M_PI * c * r / NSAMP);
+    MPI_Barrier(MPI_COMM_WORLD);
+    inverse_mpi_old(F, NSAMP, invF, &cps, argc, argv);
+    MPI_Barrier(MPI_COMM_WORLD);
+    if (rank == 0)
+        g_invF_old = invF;
 }
 
 static void phase_c(int rank, int world, int argc, char **argv) {
@@ -260,6 +278,18 @@ int main(int argc, char **argv) {
     run_phase(phase_b, 20, argc, argv);
     run_phase(phase_c, 13, argc, argv);
 
+    /* utils.c:770-778 multiply_mpi — pure row-range worker, never
+     * called by any main; its body squares M1 (the `vec` operand is
+     * ignored, both factors read M1).  Captured on the DFT matrix. */
+    lcplx **F2in;
+    lcplx **F2out;
+    malloc2dLongDoubleComplex(&F2in, NSAMP, NSAMP);
+    malloc2dLongDoubleComplex(&F2out, NSAMP, NSAMP);
+    for (int r = 0; r < NSAMP; r++)
+        for (int c = 0; c < NSAMP; c++)
+            F2in[c][r] = cexpl(-2 * I * (long double)M_PI * c * r / NSAMP);
+    multiply_mpi(F2in, NSAMP, NSAMP, nullptr, NSAMP, F2out, 0, NSAMP);
+
     printf("CAPTURE mpi\n");
     dump("lt_ls_mpi", g_lt);
     dump("ps_linear_mpi", g_lin);
@@ -268,5 +298,7 @@ int main(int argc, char **argv) {
     dump("ps_sinc_mpi", g_sin, NSAMP + 2);
     dump("ps_mmse2_mpi", g_mmse2);
     dump_mat("invF_mpi", g_invF);
+    dump_mat("invF_mpi_old", g_invF_old);
+    dump_mat("multiply_mpi_F", F2out);
     return 0;
 }

@@ -42,6 +42,11 @@ the sequential golden (ref_h_est.npz):
   estimate and overwrites the LT-LS result.  That behavior is stack
   garbage (nondeterministic) and cannot be captured; the golden uses
   the declared wiring (LT input = the MPI LT-LS output).
+* Even the DEAD code is anchored: inverse_mpi_old (utils.c:201, the
+  20-rank-hardcoded predecessor, run on exactly that layout) equals
+  inverse_mpi bit-for-bit, and multiply_mpi (utils.c:770, never called,
+  reads M1 for both factors) squares its operand — on the DFT matrix,
+  F² = 53 × the index-reversal permutation, verified.
 
 The repo deliberately does NOT reproduce quirk 4 (SURVEY §2.5 decision:
 outright bugs are anchored, not re-implemented); rx_chain's math modes
@@ -145,6 +150,30 @@ def test_mmse_mpi_all_nan_like_sequential(mpi, seq, name):
     # consistent with the sequential MMSE record (same Ryy=2σ²I + unpivoted
     # condensation mechanism, test_golden_ref.py)
     assert np.isnan(seq["block0_ps_mmse"]).all()
+
+
+def test_inverse_mpi_old_matches_inverse_mpi(mpi):
+    """utils.c:201-271 — the dead 20-rank-hardcoded predecessor of
+    inverse_mpi, runnable only on exactly the 20-rank layout phase B
+    provides (columns {rank, rank+20, rank+40<53}).  Same cofactor math,
+    same determinant route ⇒ must equal inverse_mpi bit-for-bit."""
+    np.testing.assert_array_equal(mpi["invF_mpi_old"], mpi["invF_mpi"])
+
+
+def test_multiply_mpi_squares_its_first_operand(mpi):
+    """utils.c:770-778 — dead row-range GEMM worker whose body reads M1
+    for BOTH factors (`res[i][j] += M1[i][k]*M1[k][j]`; the `vec`
+    parameter is ignored): captured on the DFT matrix, it computes F².
+    For the 53-point DFT matrix F[c][r]=exp(−2πi·c·r/53), F² is 53·P
+    where P is the index-reversal permutation (P[0,0]=1,
+    P[i, 53−i]=1)."""
+    got = mpi["multiply_mpi_F"]
+    n = 53
+    perm = np.zeros((n, n))
+    perm[0, 0] = 1.0
+    for i in range(1, n):
+        perm[i, n - i] = 1.0
+    assert np.abs(got - n * perm).max() < 1e-9
 
 
 def test_inverse_mpi_is_the_true_inverse(mpi):
