@@ -497,8 +497,12 @@ def main():
                  if f in sys.argv[1:]]
     if raw_flags:
         # raw-sample system rows (single path, fresh-process isolation)
+        assert len(raw_flags) == 1, (
+            f"pick one of --raw/--raw32/--genraw, got {raw_flags}")
         flag = raw_flags[0]
         kw = {"batch": int(argv[0])} if argv else {}
+        if len(argv) > 1:
+            kw["iters"] = int(argv[1])
         if flag == "--genraw":
             fn = _bench_gen_raw_system
             name = ("fully generative in-kernel raw system "

@@ -226,10 +226,10 @@ int MPI_Barrier(MPI_Comm comm) {
     int nmembers = (int)g_members[comm].size();
     BarrierSlot &slot = g_barrier[key];
     slot.arrived++;
-    if (slot.arrived == nmembers) {
-        g_cv.notify_all();
-        /* last one out erases; readers below only check the count */
-    }
+    if (slot.arrived == nmembers) g_cv.notify_all();
+    /* slots are never erased (eager cleanup would race late waiters
+     * re-evaluating the predicate) — they persist until the next
+     * mpiloop_init; one int per barrier call, a few dozen per capture */
     g_cv.wait(lk, [&] { return g_barrier[key].arrived == nmembers; });
     return MPI_SUCCESS;
 }

@@ -32,14 +32,13 @@ import json
 import pathlib
 import subprocess
 import sys
-import time
 
 HERE = pathlib.Path(__file__).resolve()
 ROOT = HERE.parents[1]
 sys.path.insert(0, str(ROOT))
 
 CONFIGS = ("chain", "detect16", "detect32", "detect64",
-           "raw16", "raw32", "raw64")
+           "raw16", "raw32", "raw64", "raw_i8_serve_stride32")
 
 
 def mode_one(config: str, batch: int, iters: int) -> None:
@@ -59,21 +58,12 @@ def mode_one(config: str, batch: int, iters: int) -> None:
     x, offs, lts, txs, tpre, evm_den = bench._raw_workload(batch)
 
     def marg(step):
+        # bench._marginal IS the repo's one serialized-marginal loop
+        # (median-of-3); per-step time = its total / iters
         incs = [jnp.float32(1e-6 * i) for i in range(2 * iters)]
         s = step(jnp.float32(0.0), incs[0])
         float(s)
-
-        def run(n):
-            t0 = time.perf_counter()
-            sv = s
-            for i in range(n):
-                sv = step(sv, incs[i])
-            float(sv)
-            return time.perf_counter() - t0
-
-        reps = 3
-        return sorted(max(run(2 * iters) - run(iters), 1e-9)
-                      for _ in range(reps))[reps // 2] / iters
+        return bench._marginal(step, iters, s, incs) / iters
 
     if config == "chain":
         from tpu80211.kernels.detect_kernel import detect_and_align
@@ -112,6 +102,36 @@ def mode_one(config: str, batch: int, iters: int) -> None:
         dt = marg(lambda s, inc: stepd(x.re, x.im, s, inc, stride))
         row = {"config": f"detect_only_stride{stride}",
                "timing_err_band": [int(err.min()), int(err.max())]}
+    elif config == "raw_i8_serve_stride32":
+        # the combined serving point: int8 ADC words + serving outputs
+        # + stride-32 coarse (halved input HBM)
+        from tpu80211.kernels.fused_chain import quantize_i8
+        from tpu80211.kernels.raw_chain import raw_rx_txconst_fused
+
+        xq, lsb = quantize_i8(Cplx(x.re.astype(jnp.float32),
+                                   x.im.astype(jnp.float32)))
+        r = raw_rx_txconst_fused(xq, lts, txs, tpre, lsb=lsb, serve=True,
+                                 stream_sums=True, equalize_with="h_mmse",
+                                 decimate=32)
+        err = np.asarray(r["start"]) - offs
+        evm = float(np.sqrt(np.asarray(r["evm_sums"]).sum()
+                            / (batch * evm_den)))
+        assert np.asarray(r["detected"]).all()
+        assert err.min() >= -4 and err.max() <= -2, (err.min(), err.max())
+        assert evm < 0.1, evm
+
+        @jax.jit
+        def stepq(xr, xi, s, inc):
+            rr = raw_rx_txconst_fused(Cplx(xr, xi), lts, txs, tpre,
+                                      eps=s + inc, lsb=lsb, serve=True,
+                                      stream_sums=True,
+                                      equalize_with="h_mmse", decimate=32)
+            return jnp.tanh(jnp.sum(rr["checksum"])) * 1e-9
+
+        dt = marg(lambda s, inc: stepq(xq.re, xq.im, s, inc))
+        row = {"config": "raw_i8_serve_stride32",
+               "timing_err_band": [int(err.min()), int(err.max())],
+               "evm_rms": round(evm, 4)}
     else:
         from tpu80211.kernels.raw_chain import raw_rx_txconst_fused
 
@@ -146,9 +166,51 @@ def mode_one(config: str, batch: int, iters: int) -> None:
     print(json.dumps(row))
 
 
+def mode_sens() -> None:
+    """Detection sensitivity vs decimation stride at the noise floor:
+    the other axis of the stride trade (the timing rows above only see
+    the clean capture workload).  Generative dispersive-channel streams
+    (the raw_system_quality.json workload), B=4096/point."""
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir",
+                      "/tmp/tpu80211-jax-cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tpu80211.cplx import Cplx
+    from tpu80211.datasets import synthetic_sc
+    from tpu80211.datasets.loader import load_capture
+    from tpu80211.kernels.detect_kernel import detect_streams
+    from tpu80211.kernels.fused_chain import tx_spectra
+    from tpu80211.ops.detect import lts_time_symbol
+
+    cap = load_capture()
+    lts = lts_time_symbol(Cplx.from_complex(cap.tx_lptot))
+    lts = Cplx(jnp.asarray(lts.re, jnp.float32),
+               jnp.asarray(lts.im, jnp.float32))
+    txs, tpre = tx_spectra(Cplx.from_complex(cap.tx_packet, jnp.float32),
+                           Cplx.from_complex(cap.tx_lptot, jnp.float32))
+    B = 4096
+    for snr in (10.0, 0.0, -5.0):
+        key = jax.random.PRNGKey(11)
+        x, _, offs = synthetic_sc.generate_raw_lane_major(
+            key, B, txs, tpre, snr_db=snr, dtype=jnp.float32,
+            channel_model="A")
+        row = {"snr_db": snr, "detect": {}}
+        for dec in (16, 32, 64):
+            r = detect_streams(x, lts, decimate=dec)
+            det = np.asarray(r["detected"])
+            row["detect"][f"s{dec}"] = round(float(det.mean()), 4)
+        print(json.dumps(row), flush=True)
+
+
 def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "one":
         return mode_one(sys.argv[2], int(sys.argv[3]), int(sys.argv[4]))
+    if len(sys.argv) > 1 and sys.argv[1] == "sens":
+        return mode_sens()
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 32768
     iters = int(sys.argv[2]) if len(sys.argv) > 2 else 24
     rows = []
@@ -160,11 +222,28 @@ def main() -> None:
                           if x.startswith("{")][-1])
         rows.append(row)
         print(json.dumps(row), flush=True)
+    r = subprocess.run([sys.executable, str(HERE), "sens"],
+                       capture_output=True, text=True, timeout=1800,
+                       check=True)
+    sens_rows = [json.loads(x) for x in r.stdout.splitlines()
+                 if x.startswith("{")]
+    for row in sens_rows:
+        print(json.dumps(row), flush=True)
     by = {r["config"]: r for r in rows}
     doc = {
         "metric": "one-kernel raw receiver stage anatomy "
                   "(fresh subprocess per config, serialized marginal)",
         "rows": rows,
+        "sensitivity_vs_stride": {
+            "workload": "generate_raw_lane_major, channel A, "
+                        "B=4096/point (the raw_system_quality.json "
+                        "workload)",
+            "rows": sens_rows,
+            "decision": "default stays stride 16 (matches every "
+                        "committed sensitivity artifact); decimate=32 "
+                        "recommended high-SNR serving knob; decimate=64 "
+                        "trades -5 dB detection for max throughput",
+        },
         "floors_ms": {
             "chain_if_detection_were_free":
                 by["chain_only_prealigned"]["ms_per_step"],

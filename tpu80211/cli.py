@@ -430,11 +430,12 @@ def _cmd_raw(args) -> int:
     ns = args.ns
     assert ns % 64 == 0, "--ns must be a multiple of 64"
     # offsets are drawn from [40, ns-1400) and the 1360-sample frame is
-    # embedded at offset+1360 <= ns; 1504 is the smallest multiple of 64
-    # leaving that draw range non-empty
-    assert ns >= 1504, (
-        f"--ns {ns} too short: need >= 1504 samples "
-        "(40-sample min offset + 1360-sample frame + alignment margin)")
+    # embedded at offset+1360 <= ns; 1472 (= 23*64) is the smallest
+    # multiple of 64 leaving that draw range non-empty (offsets in
+    # [40, 72), frame end <= 71+1360 = 1431 <= 1472)
+    assert ns >= 1472, (
+        f"--ns {ns} too short: need >= 1472 samples "
+        "(40-sample min offset + 1360-sample frame + draw margin)")
     cap = load_capture()
     rng = np.random.default_rng(args.seed)
     frame = np.concatenate([cap.rx_lptot, cap.rx_packet])

@@ -131,15 +131,9 @@ def _detect_core(xr, xi, wrr, wri, *, ns, threshold, search, advance,
         be2 = bsum(br * br + bi * bi)
 
         nwin = WIN // stride                        # blocks per 64-window
-
-        def wn(v):                                  # (nblk, L) → sliding sum
-            step = 1
-            while step < nwin:
-                v = v[:-step] + v[step:]
-                step *= 2
-            return v                                # (nblk-nwin+1, L)
-
-        p_re, p_im, e1, e2 = wn(bp_re), wn(bp_im), wn(be1), wn(be2)
+        # sliding nwin-block sums, (nblk, L) → (nblk-nwin+1, L)
+        p_re, p_im, e1, e2 = (_wsum(bp_re, nwin), _wsum(bp_im, nwin),
+                              _wsum(be1, nwin), _wsum(be2, nwin))
         m = (p_re * p_re + p_im * p_im) / jnp.maximum(e1 * e2, 1e-30)
         nm = m.shape[0]
         above = m > threshold
@@ -148,7 +142,8 @@ def _detect_core(xr, xi, wrr, wri, *, ns, threshold, search, advance,
         # anchor the fine search one stride early: the true first
         # crossing can precede the decimated hit by up to stride-1
         coarse = jnp.maximum(c16 * stride - stride, 0)
-        search = search + stride
+        search0 = search                            # caller's window
+        search = search + stride                    # widened fine window
     else:
         p_re = _wsum(ar * br + ai * bi, WIN)        # Σ a·conj(b), re
         p_im = _wsum(ai * br - ar * bi, WIN)        # (ns-128+1, L)
@@ -159,6 +154,7 @@ def _detect_core(xr, xi, wrr, wri, *, ns, threshold, search, advance,
         above = m > threshold
         det = jnp.max(above.astype(jnp.int32), axis=0, keepdims=True)
         coarse = _first_true(above, nm)             # nm when none (gated)
+        search0 = search
 
     # ---- LTS matched filter as chunked full-depth MXU dots ------------
     n_mf = ns - LAG + 1
@@ -194,10 +190,14 @@ def _detect_core(xr, xi, wrr, wri, *, ns, threshold, search, advance,
     # undetected lanes: _first_true returns nm so [lo, lo+2·search) is
     # empty and the metric would read 0.0, while the XLA path's argmax
     # of an all-False mask lands at lo=0 and reports the window peak —
-    # match that (metric = peak over [0, 2·search)) so thresholding on
-    # `metric` is backend-independent
+    # match that window anchor ([0, 2·search0), the CALLER'S window, not
+    # the stride-widened fine window the detected lanes use).  Under
+    # decimation the peak is still evaluated on the stride grid, so the
+    # undetected metric equals the XLA value only at full resolution
+    # (same stride caveat as `coarse`, docstring above)
+    win_m = jnp.where(det > 0, 2 * search, 2 * search0)
     lo_m = jnp.where(det > 0, lo, 0)
-    mask_m = jnp.logical_and(idx_m >= lo_m, idx_m < lo_m + 2 * search)
+    mask_m = jnp.logical_and(idx_m >= lo_m, idx_m < lo_m + win_m)
     peak_m = jnp.max(jnp.where(mask_m, m, 0.0), axis=0, keepdims=True)
     return det, coarse, start, peak_m
 
