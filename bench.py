@@ -229,8 +229,13 @@ def _raw_workload(batch: int, ns: int = 2048, dtype=jnp.bfloat16):
     return xc, offs, lts, txs, tpre, evm_den
 
 
-def _marginal(step, iters, s0, incs):
-    """Median-of-3 serialized loop-length marginal (bench.py docstring)."""
+def _marginal(step, iters, s0, incs, with_single=False):
+    """Median-of-3 serialized loop-length marginal (bench.py docstring).
+    ``with_single=True`` also returns the best single-loop wall time —
+    the congestion diagnostic: a healthy run has marginal ≲ single-loop
+    per-step; a sustained tunnel-slow window inflates the marginal far
+    above it (observed once: a 10.6M raw32 row whose isolated re-run
+    read 17.9M)."""
     def run(n):
         t0 = time.perf_counter()
         sv = s0
@@ -240,9 +245,17 @@ def _marginal(step, iters, s0, incs):
         return time.perf_counter() - t0
 
     reps = 3
-    margins = sorted(max(run(2 * iters) - run(iters), 1e-9)
-                     for _ in range(reps))
-    return margins[reps // 2]
+    singles = []
+    margins = []
+    for _ in range(reps):
+        t1 = run(iters)
+        t2 = run(2 * iters)
+        singles.append(t1 / iters)
+        margins.append(max(t2 - t1, 1e-9))
+    marg = sorted(margins)[reps // 2]
+    if with_single:
+        return marg, min(singles)
+    return marg
 
 
 def _bench_raw_system(iters: int = 24, batch: int = 32768,
@@ -292,11 +305,12 @@ def _bench_raw_system(iters: int = 24, batch: int = 32768,
     incs = [jnp.float32(1e-6 * i) for i in range(2 * iters)]
     s = step(jnp.float32(0.0), incs[0])
     float(s)
-    dt = _marginal(step, iters, s, incs)
+    dt, single = _marginal(step, iters, s, incs, with_single=True)
     return {
         "frames_per_s": round(batch * iters / dt, 1),
         "vs_baseline": round(batch * iters / dt / BASELINE_FRAMES_PER_S, 1),
         "ms_per_step": round(1e3 * dt / iters, 4),
+        "ms_per_step_single_loop": round(1e3 * single, 4),
         "batch": batch,
         "iters": iters,
         "decimate_stride": decimate,
@@ -363,11 +377,12 @@ def _bench_gen_raw_system(iters: int = 16, batch: int = 32768) -> dict:
     incs = list(range(2 * iters))
     s = step(jnp.float32(0.0), incs[0])
     float(s)
-    dt = _marginal(step, iters, s, incs)
+    dt, single = _marginal(step, iters, s, incs, with_single=True)
     return {
         "frames_per_s": round(batch * iters / dt, 1),
         "vs_baseline": round(batch * iters / dt / BASELINE_FRAMES_PER_S, 1),
         "ms_per_step": round(1e3 * dt / iters, 4),
+        "ms_per_step_single_loop": round(1e3 * single, 4),
         "batch": batch,
         "iters": iters,
         "snr_db": 20.0,
